@@ -1,0 +1,174 @@
+"""Fused Pallas TPU kernel: waveform → log-mel in one HBM round-trip.
+
+TPU-native replacement for the reference's librosa frontend hot loop
+(reference: ``utils/features.py:LogMelExtractor.transform`` +
+``calculate_feature_for_all_audio_files``; SURVEY.md §3.1 HOT LOOP #1).
+The XLA reference path (``ops/stft.py``) materialises the overlapping frame
+matrix ``[B, T, window]`` (an 8× blow-up of the waveform) and the 513-bin
+power spectrogram in HBM; this kernel keeps both in VMEM.
+
+Formulation (GEMM-native NDFT, cf. PAPERS.md "MelT"):
+
+* The centre-padded waveform is reshaped into non-overlapping *hop chunks*
+  ``[n_rows, hop]`` — a free reshape, no gather. Frame ``f`` (start sample
+  ``f*hop``) is exactly chunks ``f .. f+n_seg-1`` where
+  ``n_seg = ceil(window / hop)`` (partial last segment zero-padded).
+* The windowed real-DFT basis is split into ``n_seg`` segment matrices
+  ``W_j[hop, n_freq]`` with the Hann window folded in, so for a block of
+  ``F`` frames::
+
+      Re = Σ_j  chunks[f0+j : f0+j+F, :] @ Wcos_j         (MXU matmuls)
+      Im = Σ_j  chunks[f0+j : f0+j+F, :] @ Wsin_j
+      logmel = log10-compress( (Re² + Im²) @ melW )
+
+* The ``n_seg`` shifted chunk views are materialised host-side as a lag
+  stack ``[B, n_seg, rows, hop_pad]`` (a cheap XLA slice+stack; n_seg× the
+  tiny waveform, ~5 MB/clip). Every Pallas block is then a plain aligned
+  BlockSpec fetch — no manual DMA — so the Mosaic pipeline double-buffers
+  HBM→VMEM transfers behind the MXU work automatically.
+
+Both the hop axis (320→384) and the frequency axis (513→640) are zero-padded
+to multiples of 128 lanes so every matmul and DMA tiles cleanly onto the
+128×128 MXU; padding rows/columns are zero in the bases, mathematically inert.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import Config, DEFAULT
+from . import dsp
+
+__all__ = ["logmel_pallas"]
+
+_FRAME_BLOCK = 128  # frames per grid step (MXU sublane-friendly)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=4)
+def _plan(cfg: Config):
+    """Host-side constant folding: segment DFT matrices + padded mel matrix."""
+    hop, win = cfg.hop_size, cfg.window_size
+    hop_pad = _round_up(hop, 128)
+    n_seg = math.ceil(win / hop)
+    n_freq = win // 2 + 1
+    f_pad = _round_up(n_freq, 128)
+
+    cos_m, sin_m = dsp.dft_matrices(win, dtype=np.float32)   # [win, n_freq]
+    cos_seg = np.zeros((n_seg, hop_pad, f_pad), np.float32)
+    sin_seg = np.zeros((n_seg, hop_pad, f_pad), np.float32)
+    for j in range(n_seg):
+        lo, hi = j * hop, min((j + 1) * hop, win)
+        cos_seg[j, : hi - lo, :n_freq] = cos_m[lo:hi]
+        sin_seg[j, : hi - lo, :n_freq] = sin_m[lo:hi]
+
+    mel = dsp.mel_filterbank(
+        cfg.sample_rate, win, cfg.mel_bins, cfg.fmin, cfg.fmax, dtype=np.float32
+    )                                                        # [n_freq, mel]
+    mel_pad = np.zeros((f_pad, cfg.mel_bins), np.float32)
+    mel_pad[:n_freq] = mel
+    return n_seg, hop_pad, f_pad, cos_seg, sin_seg, mel_pad
+
+
+def _kernel(lag_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
+            n_seg: int, ref_db: float, amin: float):
+    # precision=HIGHEST: the MXU multiplies in bf16 by default; the DFT is
+    # part of the bit-compat contract with the XLA reference path, so force
+    # the multi-pass f32 formulation (bf16x3). Still MXU-bound, ~3× flops.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
+    im = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
+    for j in range(n_seg):
+        seg = lag_ref[0, j]                                  # [F, hop_pad]
+        re += jnp.dot(seg, cos_ref[j], preferred_element_type=jnp.float32,
+                      precision=hi)
+        im += jnp.dot(seg, sin_ref[j], preferred_element_type=jnp.float32,
+                      precision=hi)
+
+    power = re * re + im * im                                # [F, f_pad]
+    mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                  precision=hi)
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel)) - ref_db
+    out_ref[0] = log_spec
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+def logmel_pallas(
+    waveform: jnp.ndarray, cfg: Config = DEFAULT, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused log-mel: ``[B, clip_samples] f32 → [B, frames_num, mel] f32``.
+
+    Same semantics as :func:`ops.stft.logmel` with ``log_top_db=None``
+    (per-clip top_db needs a cross-block reduction — use the XLA path for
+    that variant; the reference family defaults to ``top_db=None``).
+    """
+    if cfg.log_top_db is not None:
+        raise NotImplementedError("top_db requires the XLA logmel path")
+    assert waveform.ndim == 2, "expected [batch, samples]"
+
+    n_seg, hop_pad, f_pad, cos_seg, sin_seg, mel_pad = _plan(cfg)
+    hop, win = cfg.hop_size, cfg.window_size
+    bsz, samples = waveform.shape
+    n_frames = 1 + samples // hop
+    n_blocks = pl.cdiv(n_frames, _FRAME_BLOCK)
+    n_out = n_blocks * _FRAME_BLOCK
+
+    # Centre pad (librosa center=True), then zero-pad so every lag row exists.
+    pad = win // 2
+    x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
+                mode=cfg.pad_mode)
+    n_rows = n_out + n_seg
+    x = jnp.pad(x, ((0, 0), (0, n_rows * hop - x.shape[-1])))
+    chunks = jnp.pad(                                        # lane-pad rows
+        x.reshape(bsz, n_rows, hop), ((0, 0), (0, 0), (0, hop_pad - hop))
+    )
+    # Lag stack: lag[:, j, r] = chunks[:, r + j] → every kernel fetch aligned.
+    lag = jnp.stack([chunks[:, j : j + n_out] for j in range(n_seg)], axis=1)
+
+    ref_db = float(10.0 * np.log10(max(cfg.log_amin, cfg.log_ref)))
+    kernel = functools.partial(
+        _kernel, n_seg=n_seg, ref_db=ref_db, amin=cfg.log_amin
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_blocks),
+        in_specs=[
+            pl.BlockSpec(                                    # lag chunk block
+                (1, n_seg, _FRAME_BLOCK, hop_pad),
+                lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(                                    # resident consts
+                (n_seg, hop_pad, f_pad), lambda b, t: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_seg, hop_pad, f_pad), lambda b, t: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (f_pad, cfg.mel_bins), lambda b, t: (0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _FRAME_BLOCK, cfg.mel_bins), lambda b, t: (b, t, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, n_out, cfg.mel_bins), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_out * (2 * win + cfg.mel_bins) * f_pad,
+            bytes_accessed=bsz * (n_seg * n_out * hop_pad
+                                  + n_out * cfg.mel_bins) * 4,
+            transcendentals=bsz * n_out * cfg.mel_bins,
+        ),
+        interpret=interpret,
+    )(lag, jnp.asarray(cos_seg), jnp.asarray(sin_seg), jnp.asarray(mel_pad))
+
+    return out[:, :n_frames, :]

@@ -1,0 +1,49 @@
+"""Fused Pallas log-mel kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from sound_event_detection_dcase2017_task4_tpu import config
+from sound_event_detection_dcase2017_task4_tpu.ops import stft
+from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import logmel_pallas
+
+
+@pytest.fixture(scope="module")
+def wave():
+    rng = np.random.RandomState(7)
+    t = np.arange(32000) / 32000.0
+    clips = [
+        0.5 * np.sin(2 * np.pi * 440 * t) + 0.02 * rng.randn(32000),
+        0.2 * np.sin(2 * np.pi * 2000 * t) * np.sin(2 * np.pi * 3 * t),
+        rng.randn(32000) * 0.1,
+    ]
+    return np.stack(clips).astype(np.float32)
+
+
+def test_pallas_matches_xla_reference(wave):
+    cfg = config.Config(clip_samples=32000)
+    ref = np.asarray(stft.logmel(wave, cfg))
+    out = np.asarray(logmel_pallas(wave, cfg, interpret=True))
+    assert out.shape == ref.shape == (3, 101, 64)
+    # dB domain: f32 segment-sum ordering noise is amplified by log10 on
+    # near-zero mel bins; 0.05 dB bounds it. Linear domain must agree tightly.
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=0)
+    np.testing.assert_allclose(
+        10.0 ** (out / 10.0), 10.0 ** (ref / 10.0), rtol=2e-3, atol=1e-10
+    )
+
+
+def test_pallas_full_clip_shape(wave):
+    cfg = config.DEFAULT
+    x = np.tile(wave[:1], (1, 10)).astype(np.float32)  # 10 s clip
+    assert x.shape == (1, cfg.clip_samples)
+    out = np.asarray(logmel_pallas(x, cfg, interpret=True))
+    assert out.shape == (1, cfg.frames_num, cfg.mel_bins)
+    ref = np.asarray(stft.logmel(x, cfg))
+    np.testing.assert_allclose(out, ref, atol=5e-2, rtol=0)
+
+
+def test_pallas_rejects_top_db(wave):
+    cfg = config.Config(clip_samples=32000, log_top_db=80.0)
+    with pytest.raises(NotImplementedError):
+        logmel_pallas(wave, cfg, interpret=True)
