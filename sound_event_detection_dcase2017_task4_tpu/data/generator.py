@@ -1,0 +1,125 @@
+"""Batch generation with seeded shuffling and device prefetch.
+
+Reference surface (SURVEY.md §2 "Data generator"):
+``utils/data_generator.py:DataGenerator.{__init__,generate_train,
+generate_validate}`` — features in RAM, seeded ``np.random.RandomState``
+shuffle, infinite train generator / finite validate generator, per-mel-bin
+``scale(x, mean, std)`` normalization.
+
+TPU-native change: the reference assembles batches single-threaded between
+optimizer steps (no overlap — SURVEY.md §3.2 flags this). Here a background
+thread stages the *next* batch onto device (``jax.device_put``) while the
+current step runs, so host batch assembly and TPU compute overlap
+(double-buffered prefetch).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .hdf5 import SplitReader, scale
+
+__all__ = ["DataGenerator", "prefetch_to_device"]
+
+
+class DataGenerator:
+    """Yields normalized ``(batch_x, batch_y)`` numpy batches.
+
+    ``feature_source='logmel'`` yields normalized log-mel ``[B, T, mel]``
+    (the reference path); ``'waveform'`` yields raw waveforms ``[B, samples]``
+    for the fused on-device frontend (normalization then happens on device).
+    """
+
+    def __init__(
+        self,
+        train: SplitReader,
+        validate: Optional[SplitReader] = None,
+        batch_size: int = 32,
+        scalar: Optional[tuple] = None,
+        seed: int = 1234,
+        feature_source: str = "logmel",
+    ):
+        self.train = train
+        self.validate = validate
+        self.batch_size = batch_size
+        self.random_state = np.random.RandomState(seed)
+        self.mean, self.std = scalar if scalar is not None else (None, None)
+        self.feature_source = feature_source
+
+    def _select(self, reader: SplitReader, idx: np.ndarray):
+        if self.feature_source == "waveform":
+            if reader.waveform is None:
+                raise ValueError("split was packed without waveforms")
+            x = reader.waveform[idx]
+        else:
+            x = reader.feature[idx]
+            if self.mean is not None:
+                x = scale(x, self.mean, self.std)
+        return x.astype(np.float32), reader.target[idx]
+
+    def generate_train(self) -> Iterator[tuple]:
+        """Infinite shuffled batches (reference: ``generate_train``)."""
+        n = len(self.train)
+        order = np.arange(n)
+        self.random_state.shuffle(order)
+        ptr = 0
+        while True:
+            if ptr + self.batch_size > n:
+                self.random_state.shuffle(order)
+                ptr = 0
+            idx = np.sort(order[ptr : ptr + self.batch_size])
+            ptr += self.batch_size
+            yield self._select(self.train, idx)
+
+    def generate_validate(self, data_type: str = "validate",
+                          max_iteration: Optional[int] = None
+                          ) -> Iterator[tuple]:
+        """Finite in-order batches over a split (reference:
+        ``generate_validate(data_type, max_iteration)``)."""
+        reader = self.train if data_type == "train" else self.validate
+        if reader is None:
+            raise ValueError(f"no reader for data_type={data_type!r}")
+        n = len(reader)
+        it = 0
+        for start in range(0, n, self.batch_size):
+            if max_iteration is not None and it >= max_iteration:
+                return
+            idx = np.arange(start, min(start + self.batch_size, n))
+            it += 1
+            yield self._select(reader, idx)
+
+
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Stage host batches onto device ahead of consumption.
+
+    A bounded background thread calls ``jax.device_put`` (optionally with a
+    ``NamedSharding`` so batches land pre-sharded across the mesh) while the
+    train step runs — the reference has no such overlap (SURVEY.md §3.2).
+    """
+    import jax
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+
+    def producer():
+        try:
+            for item in iterator:
+                if sharding is not None:
+                    item = jax.device_put(item, sharding)
+                else:
+                    item = jax.device_put(item)
+                q.put(item)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        yield item

@@ -1,0 +1,163 @@
+"""HDF5 feature packing and reading — the reference's public file contract.
+
+Reference surface (SURVEY.md §2 "HDF5 packer CLI", §3.1): one HDF5 per split
+with datasets ``audio_name [N]``, ``feature [N, frames, mel]`` (log-mel
+float32), ``target [N, classes]`` (multi-hot weak label), plus a separate
+normalization-scalar file holding per-mel-bin ``mean``/``std`` computed on
+the training split (reference: ``utils/features.py:calculate_scalar``,
+``utils/utilities.py:{calculate_scalar_of_tensor,scale}``).
+
+TPU-native additions (backwards compatible — extra datasets only):
+
+* an optional ``waveform [N, clip_samples] float32`` dataset so training can
+  run the fused Pallas frontend on device instead of loading offline
+  features;
+* features are computed by the batched JAX frontend (device) instead of a
+  per-file librosa loop — the 51k-file CPU hot loop in the reference
+  (SURVEY.md §3.1 HOT LOOP #1) becomes a sequence of device batches.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, Sequence
+
+import h5py
+import numpy as np
+
+from ..config import Config, DEFAULT, classes_num, lb_to_idx
+
+__all__ = [
+    "pack_waveforms_to_hdf5", "calculate_scalar", "load_scalar", "scale",
+    "read_split", "SplitReader",
+]
+
+
+def _encode_names(names: Sequence[str]) -> np.ndarray:
+    return np.asarray([n.encode("utf-8") for n in names], dtype="S120")
+
+
+def pack_waveforms_to_hdf5(
+    waveforms: Iterable[np.ndarray],
+    audio_names: Sequence[str],
+    targets: np.ndarray,
+    out_path: str,
+    cfg: Config = DEFAULT,
+    store_waveform: bool = True,
+    batch_size: int = 32,
+    use_pallas: bool = False,
+) -> None:
+    """Extract log-mel on device in batches and write one split HDF5.
+
+    ``waveforms`` yields float32 arrays already resampled/padded to
+    ``cfg.clip_samples`` (decoding/resampling is the caller's job — see
+    ``features.py`` CLI). Layout matches the reference contract above.
+    """
+    from ..ops.stft import make_logmel_fn
+
+    logmel_fn = make_logmel_fn(cfg, use_pallas=use_pallas)
+    n = len(audio_names)
+    targets = np.asarray(targets, dtype=np.float32)
+    assert targets.shape == (n, classes_num) or targets.shape[0] == n
+
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with h5py.File(out_path, "w") as hf:
+        hf.create_dataset("audio_name", data=_encode_names(audio_names))
+        hf.create_dataset("target", data=targets)
+        feat = hf.create_dataset(
+            "feature", shape=(n, cfg.frames_num, cfg.mel_bins),
+            dtype=np.float32)
+        wave_ds = None
+        if store_waveform:
+            wave_ds = hf.create_dataset(
+                "waveform", shape=(n, cfg.clip_samples), dtype=np.float32)
+
+        batch, idx0 = [], 0
+        it = iter(waveforms)
+        for i in range(n):
+            w = np.asarray(next(it), dtype=np.float32)
+            w = pad_or_truncate(w, cfg.clip_samples)
+            batch.append(w)
+            if len(batch) == batch_size or i == n - 1:
+                wb = np.stack(batch)
+                fb = np.asarray(logmel_fn(wb))
+                feat[idx0 : idx0 + len(batch)] = fb
+                if wave_ds is not None:
+                    wave_ds[idx0 : idx0 + len(batch)] = wb
+                idx0 += len(batch)
+                batch = []
+
+        hf.attrs["sample_rate"] = cfg.sample_rate
+        hf.attrs["frames_num"] = cfg.frames_num
+        hf.attrs["mel_bins"] = cfg.mel_bins
+
+
+def pad_or_truncate(x: np.ndarray, length: int) -> np.ndarray:
+    """Reference ``utils/utilities.py:pad_or_truncate`` semantics: zero-pad
+    at the end or cut to exactly ``length`` samples."""
+    if len(x) >= length:
+        return x[:length]
+    out = np.zeros(length, dtype=x.dtype)
+    out[: len(x)] = x
+    return out
+
+
+def calculate_scalar(feature_h5_path: str, scalar_path: str) -> tuple:
+    """Per-mel-bin mean/std over all frames of the (training) split.
+
+    Reference: ``utils/features.py:calculate_scalar`` — stored in its own
+    HDF5 with datasets ``mean``/``std`` of shape ``[mel_bins]``.
+    """
+    with h5py.File(feature_h5_path, "r") as hf:
+        feat = hf["feature"]
+        # streaming two-pass over clips to bound memory
+        count, total = 0, None
+        for i in range(feat.shape[0]):
+            x = feat[i].astype(np.float64)
+            total = x.sum(axis=0) if total is None else total + x.sum(axis=0)
+            count += x.shape[0]
+        mean = total / count
+        sq = None
+        for i in range(feat.shape[0]):
+            d = feat[i].astype(np.float64) - mean
+            s = (d * d).sum(axis=0)
+            sq = s if sq is None else sq + s
+        std = np.sqrt(sq / count)
+
+    os.makedirs(os.path.dirname(os.path.abspath(scalar_path)), exist_ok=True)
+    with h5py.File(scalar_path, "w") as hf:
+        hf.create_dataset("mean", data=mean.astype(np.float32))
+        hf.create_dataset("std", data=std.astype(np.float32))
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+def load_scalar(scalar_path: str) -> tuple:
+    with h5py.File(scalar_path, "r") as hf:
+        return hf["mean"][:], hf["std"][:]
+
+
+def scale(x: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
+    """Reference ``utils/utilities.py:scale`` — per-mel-bin standardization."""
+    return (x - mean) / np.maximum(std, 1e-8)
+
+
+class SplitReader:
+    """Loads one split HDF5 fully into RAM (the reference keeps features in
+    memory too — the whole corpus is only ~13 GB of f32 log-mel; test/eval
+    splits are tiny)."""
+
+    def __init__(self, path: str, load_waveform: bool = False):
+        with h5py.File(path, "r") as hf:
+            self.audio_names = [n.decode("utf-8") for n in hf["audio_name"][:]]
+            self.target = hf["target"][:].astype(np.float32)
+            self.feature = hf["feature"][:]
+            self.waveform = (
+                hf["waveform"][:] if load_waveform and "waveform" in hf
+                else None)
+
+    def __len__(self) -> int:
+        return len(self.audio_names)
+
+
+def read_split(path: str, load_waveform: bool = False) -> SplitReader:
+    return SplitReader(path, load_waveform=load_waveform)

@@ -1,0 +1,178 @@
+"""Training core: train state, fused train/eval steps, device-side mixup.
+
+Reference surface (SURVEY.md §2 "Train driver", §3.2): the step loop of
+``pytorch/main.py:train`` — Adam(lr≈1e-3), clip-level BCE on weak labels,
+optional mixup augmentation, periodic evaluation + checkpointing. The CLI
+driver lives in ``main.py``; this module is the jitted compute.
+
+TPU-native design:
+
+* One jitted ``train_step`` contains (optionally) the fused Pallas log-mel
+  frontend, normalization, mixup, forward, loss, backward and the Adam
+  update — a single XLA program per step, no host round trips
+  (the reference interleaves single-threaded HDF5 batch assembly with GPU
+  steps; SURVEY.md §3.2 HOT LOOP #2).
+* State is a pure pytree (params, batch_stats, opt_state, PRNG key, step);
+  deterministic resume = restore the pytree (SURVEY.md §5 checkpoint row).
+* Data parallel: jit over a 1-D mesh with the batch sharded on ``"data"``
+  and state replicated; XLA derives the psum gradient all-reduce. The same
+  code runs single-chip when the mesh has one device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from .config import Config, DEFAULT
+from .losses import get_loss_func
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "mixup"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray                  # scalar int32
+    params: FrozenDict
+    batch_stats: FrozenDict
+    opt_state: optax.OptState
+    rng: jax.Array                     # PRNG key for dropout/mixup
+
+
+def create_train_state(
+    model,
+    cfg: Config = DEFAULT,
+    learning_rate: float = 1e-3,
+    seed: int = 0,
+    example_frames: Optional[int] = None,
+    optimizer: Optional[optax.GradientTransformation] = None,
+) -> tuple[TrainState, optax.GradientTransformation]:
+    """Init params on an example log-mel batch; Adam mirrors the reference
+    (``optimizer = Adam(lr=1e-3, betas=(0.9, 0.999))``)."""
+    frames = example_frames or cfg.frames_num
+    example = jnp.zeros((1, frames, cfg.mel_bins), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(seed)},
+                           example, train=False)
+    tx = optimizer or optax.adam(learning_rate, b1=0.9, b2=0.999)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=tx.init(variables["params"]),
+        rng=jax.random.PRNGKey(seed + 1),
+    )
+    return state, tx
+
+
+def mixup(rng: jax.Array, x: jnp.ndarray, y: jnp.ndarray, alpha: float):
+    """Device-side mixup (reference: ``utils/utilities.py:Mixup``,
+    ``--augmentation=mixup``): pair each example with the batch reversed,
+    per-example λ ~ Beta(α, α); targets mixed with the same λ."""
+    lam = jax.random.beta(rng, alpha, alpha, (x.shape[0],))
+    lam_x = lam.reshape((-1,) + (1,) * (x.ndim - 1))
+    lam_y = lam.reshape((-1,) + (1,) * (y.ndim - 1))
+    x2 = jnp.flip(x, axis=0)
+    y2 = jnp.flip(y, axis=0)
+    return lam_x * x + (1 - lam_x) * x2, lam_y * y + (1 - lam_y) * y2
+
+
+def _frontend_and_norm(batch_x, frontend, scalar):
+    if frontend is not None:
+        batch_x = frontend(batch_x)                 # waveform → logmel
+    if scalar is not None:
+        mean, std = scalar
+        batch_x = (batch_x - mean) / jnp.maximum(std, 1e-8)
+    return batch_x
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_type: str = "clip_bce",
+    frontend: Optional[Callable] = None,
+    scalar: Optional[tuple] = None,
+    mixup_alpha: float = 0.0,
+    donate_state: bool = True,
+):
+    """Build the jitted train step ``(state, batch_x, batch_y) → (state, metrics)``.
+
+    ``frontend`` (e.g. the Pallas log-mel) makes ``batch_x`` a waveform
+    batch; ``scalar=(mean, std)`` applies on-device normalization;
+    ``mixup_alpha > 0`` enables device-side mixup.
+    """
+    loss_fn = get_loss_func(loss_type)
+    scalar = (None if scalar is None else
+              (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
+
+    def step_fn(state: TrainState, batch_x, batch_y):
+        rng, mix_rng, drop_rng = jax.random.split(state.rng, 3)
+        x = _frontend_and_norm(batch_x, frontend, scalar)
+        y = batch_y
+        if mixup_alpha > 0.0:
+            x, y = mixup(mix_rng, x, y, mixup_alpha)
+
+        def loss_of(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"])
+            return loss_fn(out, y), (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_stats,
+            opt_state=new_opt, rng=rng)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    donate = (0,) if donate_state else ()
+    return jax.jit(step_fn, donate_argnums=donate)
+
+
+def make_eval_step(model, frontend: Optional[Callable] = None,
+                   scalar: Optional[tuple] = None):
+    """Jitted inference step ``(state, batch_x) → output_dict`` (eval mode,
+    running BN stats — reference ``pytorch_utils.forward`` semantics)."""
+    scalar = (None if scalar is None else
+              (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
+
+    def eval_fn(state: TrainState, batch_x):
+        x = _frontend_and_norm(batch_x, frontend, scalar)
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+
+    return jax.jit(eval_fn)
+
+
+def forward_generator(eval_step, state, generate_func,
+                      return_target: bool = True) -> dict:
+    """Accumulate model outputs over a finite generator as numpy arrays.
+
+    Mirrors reference ``pytorch/pytorch_utils.py:forward`` — returns a dict
+    with ``clipwise_output``, ``framewise_output`` and (optionally) ``target``.
+    """
+    acc: dict = {"clipwise_output": [], "framewise_output": []}
+    if return_target:
+        acc["target"] = []
+    for batch in generate_func:
+        batch_x, batch_y = batch
+        out = eval_step(state, batch_x)
+        acc["clipwise_output"].append(np.asarray(out["clipwise_output"]))
+        acc["framewise_output"].append(np.asarray(out["framewise_output"]))
+        if return_target:
+            acc["target"].append(np.asarray(batch_y))
+    return {k: np.concatenate(v, axis=0) for k, v in acc.items()}

@@ -1,0 +1,109 @@
+"""Init/forward shape + behavior tests for every registry model (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sound_event_detection_dcase2017_task4_tpu.models import (
+    MODEL_REGISTRY, get_model, interpolate, pad_framewise_output)
+
+BATCH, T, MEL, CLASSES = 2, 240, 64, 17  # short time axis for test speed
+
+
+@pytest.fixture(scope="module")
+def logmel():
+    rng = np.random.RandomState(0)
+    return jnp.asarray(rng.randn(BATCH, T, MEL).astype(np.float32))
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+def test_forward_shapes(name, logmel):
+    if name == "Cnn_13layers_AvgPooling":
+        pytest.skip("covered by test_cnn13 (needs longer T for 6 pools)")
+    model = get_model(name, classes_num=CLASSES)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, logmel, train=False)
+    out = model.apply(params, logmel, train=False)
+    assert out["clipwise_output"].shape == (BATCH, CLASSES)
+    assert out["framewise_output"].shape == (BATCH, T, CLASSES)
+    clip = np.asarray(out["clipwise_output"])
+    frame = np.asarray(out["framewise_output"])
+    assert (clip >= 0).all() and (clip <= 1).all()
+    assert (frame >= 0).all() and (frame <= 1).all()
+    assert np.isfinite(clip).all() and np.isfinite(frame).all()
+
+
+def test_cnn13(logmel):
+    model = get_model("Cnn_13layers_AvgPooling", classes_num=CLASSES)
+    x = jnp.tile(logmel, (1, 3, 1))  # 720 frames → survives 6 pools
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(params, x, train=False)
+    assert out["clipwise_output"].shape == (BATCH, CLASSES)
+    assert out["framewise_output"].shape == (BATCH, 720, CLASSES)
+
+
+def test_train_mode_with_dropout_and_bn(logmel):
+    model = get_model("Cnn_9layers_Gru_FrameAtt", classes_num=CLASSES)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, logmel,
+                           train=False)
+    out, mutated = model.apply(
+        variables, logmel, train=True,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+        mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    assert out["clipwise_output"].shape == (BATCH, CLASSES)
+
+
+def test_head_semantics(logmel):
+    """max head clipwise == max over time of (pre-upsampled) framewise."""
+    model = get_model("Cnn_9layers_MaxPooling", classes_num=CLASSES)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, logmel,
+                           train=False)
+    out = model.apply(variables, logmel, train=False)
+    # framewise is an upsample of the pre-pool frames, so its max over time
+    # must equal the clipwise max exactly.
+    np.testing.assert_allclose(
+        np.asarray(out["framewise_output"]).max(axis=1),
+        np.asarray(out["clipwise_output"]), atol=1e-6)
+
+
+def test_att_head_is_convex_combination(logmel):
+    """Attention clipwise prob lies within [min, max] of framewise probs."""
+    model = get_model("Cnn_9layers_AttPooling", classes_num=CLASSES)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, logmel,
+                           train=False)
+    out = model.apply(variables, logmel, train=False)
+    fw = np.asarray(out["framewise_output"])
+    cw = np.asarray(out["clipwise_output"])
+    assert (cw <= fw.max(axis=1) + 1e-6).all()
+    assert (cw >= fw.min(axis=1) - 1e-6).all()
+
+
+def test_interpolate_and_pad():
+    x = jnp.arange(6, dtype=jnp.float32).reshape(1, 3, 2)
+    y = interpolate(x, 2)
+    assert y.shape == (1, 6, 2)
+    np.testing.assert_array_equal(np.asarray(y[0, :2]), np.asarray(x[0, :1]).repeat(2, 0))
+    z = pad_framewise_output(y, 9)
+    assert z.shape == (1, 9, 2)
+    np.testing.assert_array_equal(np.asarray(z[0, 6:]), np.tile(np.asarray(y[0, -1]), (3, 1)))
+    # truncation path
+    w = pad_framewise_output(y, 4)
+    assert w.shape == (1, 4, 2)
+
+
+def test_bf16_compute():
+    model = get_model("Cnn_9layers_AttPooling", classes_num=CLASSES,
+                      dtype=jnp.bfloat16)
+    x = jnp.zeros((1, T, MEL), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    # outputs are cast back to f32 regardless of compute dtype
+    assert out["clipwise_output"].dtype == jnp.float32
+    assert out["framewise_output"].dtype == jnp.float32
+
+
+def test_unknown_model_type():
+    with pytest.raises(KeyError):
+        get_model("Cnn_42layers_Nonsense")

@@ -1,0 +1,83 @@
+"""Edge-case unit tests for the SED event decoder (SURVEY.md §4/§7)."""
+
+import numpy as np
+
+from sound_event_detection_dcase2017_task4_tpu import sed
+
+
+def _probs(seq):
+    """[T] list → [1, T, 1] array."""
+    return np.asarray(seq, np.float32)[None, :, None]
+
+
+class TestBinarize:
+    def test_plain_threshold(self):
+        p = _probs([0.1, 0.6, 0.7, 0.1])
+        a = sed.binarize(p, 0.5, 0.5)
+        np.testing.assert_array_equal(a[0, :, 0], [0, 1, 1, 0])
+
+    def test_hysteresis_extends_to_low(self):
+        p = _probs([0.25, 0.3, 0.9, 0.3, 0.25, 0.1])
+        a = sed.binarize(p, 0.5, 0.2)
+        np.testing.assert_array_equal(a[0, :, 0], [1, 1, 1, 1, 1, 0])
+
+    def test_hysteresis_drops_unseeded_runs(self):
+        # second run never crosses high threshold → dropped entirely
+        p = _probs([0.9, 0.3, 0.0, 0.3, 0.4, 0.3, 0.0])
+        a = sed.binarize(p, 0.5, 0.2)
+        np.testing.assert_array_equal(a[0, :, 0], [1, 1, 0, 0, 0, 0, 0])
+
+    def test_empty(self):
+        p = _probs([0.0] * 8)
+        a = sed.binarize(p, 0.5, 0.2)
+        assert a.sum() == 0
+
+    def test_all_active(self):
+        p = _probs([0.9] * 8)
+        a = sed.binarize(p, 0.5, 0.2)
+        assert a.sum() == 8
+
+    def test_gap_fill(self):
+        p = _probs([0.9, 0.9, 0.0, 0.0, 0.9, 0.9])
+        a = sed.binarize(p, 0.5, 0.2, n_smooth=3)      # gap of 2 < 3 → filled
+        np.testing.assert_array_equal(a[0, :, 0], [1, 1, 1, 1, 1, 1])
+        a2 = sed.binarize(p, 0.5, 0.2, n_smooth=2)     # gap of 2 ≥ 2 → kept
+        np.testing.assert_array_equal(a2[0, :, 0], [1, 1, 0, 0, 1, 1])
+
+    def test_leading_trailing_gaps_not_filled(self):
+        p = _probs([0.0, 0.9, 0.9, 0.0])
+        a = sed.binarize(p, 0.5, 0.2, n_smooth=5)
+        np.testing.assert_array_equal(a[0, :, 0], [0, 1, 1, 0])
+
+    def test_salt_removal(self):
+        p = _probs([0.0, 0.9, 0.0, 0.9, 0.9, 0.9, 0.0])
+        a = sed.binarize(p, 0.5, 0.5, n_salt=2)        # 1-frame run dropped
+        np.testing.assert_array_equal(a[0, :, 0], [0, 0, 0, 1, 1, 1, 0])
+
+    def test_smooth_then_salt_order(self):
+        # two 1-frame seeds 2 apart: smoothing first merges them into a
+        # 4-frame run, which then survives n_salt=3.
+        p = _probs([0.9, 0.0, 0.0, 0.9, 0.0])
+        a = sed.binarize(p, 0.5, 0.5, n_smooth=3, n_salt=3)
+        np.testing.assert_array_equal(a[0, :, 0], [1, 1, 1, 1, 0])
+
+
+class TestEvents:
+    def test_runs_to_seconds(self):
+        active = np.zeros((1, 300, 2), np.uint8)
+        active[0, 100:250, 0] = 1
+        active[0, 0:50, 1] = 1
+        evts = sed.events_from_binary(active, frames_per_second=100,
+                                      labels=["a", "b"])
+        assert evts[0] == [(0.0, 0.5, "b"), (1.0, 2.5, "a")]
+
+    def test_full_decode_roundtrip(self):
+        probs = np.zeros((2, 400, 3), np.float32)
+        probs[0, 120:260, 1] = 0.95
+        probs[1, 10:90, 2] = 0.85
+        evts = sed.frame_prediction_to_event_prediction(
+            probs, {"sed_high_threshold": 0.5, "sed_low_threshold": 0.3,
+                    "n_smooth": 5, "n_salt": 5},
+            frames_per_second=100, labels=["x", "y", "z"])
+        assert evts[0] == [(1.2, 2.6, "y")]
+        assert evts[1] == [(0.1, 0.9, "z")]

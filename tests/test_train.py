@@ -1,0 +1,102 @@
+"""Train-step smoke tests: loss decreases, checkpoint round-trip, mixup."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sound_event_detection_dcase2017_task4_tpu import checkpoints, train
+from sound_event_detection_dcase2017_task4_tpu.config import Config
+from sound_event_detection_dcase2017_task4_tpu.models import SedCnn
+
+CLASSES = 17
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    return SedCnn(classes_num=CLASSES, channels=(16, 32), head="att")
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 96, 64).astype(np.float32)
+    y = (rng.rand(8, CLASSES) < 0.2).astype(np.float32)
+    # make the task learnable: class k active iff mel band around k is loud
+    for i in range(8):
+        for k in np.where(y[i])[0]:
+            x[i, :, (k * 3) % 64] += 3.0
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_loss_decreases(tiny_model, batch):
+    cfg = Config()
+    state, tx = train.create_train_state(
+        tiny_model, cfg, learning_rate=3e-3, example_frames=96)
+    step = train.make_train_step(tiny_model, tx, donate_state=False)
+    x, y = batch
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, x, y)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.75, losses[::10]
+    assert np.isfinite(losses).all()
+    assert int(state.step) == 30
+
+
+def test_mixup_convexity():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.stack([jnp.zeros((4, 3)), jnp.ones((4, 3))])
+    y = jnp.asarray([[0.0, 1.0], [1.0, 0.0]])
+    mx, my = train.mixup(rng, x, y, alpha=1.0)
+    assert ((mx >= 0) & (mx <= 1)).all()
+    assert ((my >= 0) & (my <= 1)).all()
+    # λ is shared between x and y per example: row sums of y stay 1
+    np.testing.assert_allclose(np.asarray(my).sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_train_step_with_mixup(tiny_model, batch):
+    cfg = Config()
+    state, tx = train.create_train_state(tiny_model, cfg, example_frames=96)
+    step = train.make_train_step(tiny_model, tx, mixup_alpha=1.0,
+                                 donate_state=False)
+    x, y = batch
+    state, metrics = step(state, x, y)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tiny_model, batch, tmp_path):
+    cfg = Config()
+    state, tx = train.create_train_state(tiny_model, cfg, example_frames=96)
+    step = train.make_train_step(tiny_model, tx, donate_state=False)
+    x, y = batch
+    for _ in range(3):
+        state, _ = step(state, x, y)
+
+    path = checkpoints.save_checkpoint(str(tmp_path), state)
+    assert path.endswith("3_iterations.ckpt")
+    template, _ = train.create_train_state(tiny_model, cfg, example_frames=96)
+    restored = checkpoints.load_checkpoint(path, template)
+
+    # resume determinism: one more step from saved vs restored is identical
+    s1, m1 = step(state, x, y)
+    s2, m2 = step(restored, x, y)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    leaves1 = jax.tree_util.tree_leaves(s1.params)
+    leaves2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert checkpoints.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_eval_step_deterministic(tiny_model, batch):
+    cfg = Config()
+    state, _ = train.create_train_state(tiny_model, cfg, example_frames=96)
+    eval_step = train.make_eval_step(tiny_model)
+    x, _ = batch
+    o1 = eval_step(state, x)
+    o2 = eval_step(state, x)
+    np.testing.assert_array_equal(np.asarray(o1["clipwise_output"]),
+                                  np.asarray(o2["clipwise_output"]))
