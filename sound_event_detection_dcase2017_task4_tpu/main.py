@@ -1,0 +1,390 @@
+"""Train / inference / metrics / threshold-optimization CLI.
+
+Reference surface (SURVEY.md §2 "Train driver", §3.2/§3.3/§3.5): the
+argparse subcommands of ``pytorch/main.py`` — ``train``, inference +
+``calculate_metrics``, ``optimize_at_thresholds`` / ``optimize_sed_thresholds``
+— with the same run-config-keyed workspace layout::
+
+    $WORKSPACE/checkpoints/main/<run-config>/<iter>_iterations.ckpt
+    $WORKSPACE/statistics/main/<run-config>/statistics.pickle
+    $WORKSPACE/predictions/main/<run-config>/<split>.pickle
+    $WORKSPACE/opt_thresholds/main/<run-config>/{at,sed}.pickle
+    $WORKSPACE/_submissions/main/<run-config>/<split>_submission.csv
+    $WORKSPACE/logs/...
+
+where ``<run-config> = model_type=?/loss_type=?/augmentation=?/batch_size=?``
+(reference: SURVEY.md §1 workspace layout).
+
+TPU-native execution model (vs the reference's eager per-batch loop):
+one jitted SPMD train step over a data-parallel device mesh, batches staged
+ahead onto device by a prefetch thread, optional fused Pallas log-mel
+frontend consuming raw waveforms (``--feature_source=waveform``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import time
+
+import jax
+import numpy as np
+
+from . import autoth, checkpoints, scoring, sed, train as train_lib
+from .config import DEFAULT, classes_num, labels
+from .data import DataGenerator, load_scalar, prefetch_to_device, read_split
+from .evaluate import Evaluator, tagging_metrics
+from .models import get_model
+from .ops.stft import make_logmel_fn
+from .parallel import batch_sharding, make_mesh, replicated_sharding
+from .utils import StatisticsContainer, create_folder, create_logging
+
+
+def _run_config(args) -> str:
+    return os.path.join(
+        f"model_type={args.model_type}",
+        f"loss_type={args.loss_type}",
+        f"augmentation={args.augmentation}",
+        f"batch_size={args.batch_size}",
+    )
+
+
+def _paths(args) -> dict:
+    ws, rc = args.workspace, _run_config(args)
+    return {
+        "checkpoints": os.path.join(ws, "checkpoints", "main", rc),
+        "statistics": os.path.join(ws, "statistics", "main", rc,
+                                   "statistics.pickle"),
+        "predictions": os.path.join(ws, "predictions", "main", rc),
+        "opt_thresholds": os.path.join(ws, "opt_thresholds", "main", rc),
+        "submissions": os.path.join(ws, "_submissions", "main", rc),
+        "logs": os.path.join(ws, "logs", "main", rc),
+    }
+
+
+def _strong_labels(args, data_type: str):
+    path = os.path.join(
+        args.dataset_dir or os.path.join(args.workspace, "synth_dataset"),
+        "metadata", f"groundtruth_strong_label_{data_type}_set.csv")
+    return scoring.read_ground_truth(path) if os.path.isfile(path) else None
+
+
+def _build(args, for_train: bool):
+    """Shared setup: readers, generator, model, steps, mesh."""
+    ws = args.workspace
+    feature_source = args.feature_source
+    train_reader = read_split(os.path.join(ws, "features", "training.h5"),
+                              load_waveform=feature_source == "waveform")
+    test_path = os.path.join(ws, "features", "testing.h5")
+    test_reader = (read_split(test_path,
+                              load_waveform=feature_source == "waveform")
+                   if os.path.isfile(test_path) else None)
+
+    scalar = load_scalar(os.path.join(ws, "scalars", "training.h5"))
+    gen = DataGenerator(train_reader, test_reader,
+                        batch_size=args.batch_size, scalar=scalar,
+                        seed=args.seed, feature_source=feature_source)
+
+    model = get_model(args.model_type, classes_num)
+    frontend = (make_logmel_fn(DEFAULT, use_pallas=not args.no_pallas)
+                if feature_source == "waveform" else None)
+    # waveform path: normalization happens on device after the frontend
+    dev_scalar = scalar if feature_source == "waveform" else None
+    if feature_source == "waveform":
+        gen.mean = gen.std = None        # don't normalize on host
+
+    state, tx = train_lib.create_train_state(
+        model, DEFAULT, learning_rate=args.learning_rate, seed=args.seed)
+    mixup_alpha = 1.0 if args.augmentation == "mixup" else 0.0
+    step = (train_lib.make_train_step(
+        model, tx, loss_type=args.loss_type, frontend=frontend,
+        scalar=dev_scalar, mixup_alpha=mixup_alpha) if for_train else None)
+    eval_step = train_lib.make_eval_step(model, frontend=frontend,
+                                         scalar=dev_scalar)
+    return dict(gen=gen, model=model, state=state, tx=tx, step=step,
+                eval_step=eval_step, train_reader=train_reader,
+                test_reader=test_reader)
+
+
+def do_train(args) -> None:
+    paths = _paths(args)
+    for k in ("checkpoints", "predictions", "submissions", "logs"):
+        create_folder(paths[k])
+    logger = create_logging(paths["logs"])
+    logger.info("train: %s", vars(args))
+
+    ctx = _build(args, for_train=True)
+    gen, step, eval_step = ctx["gen"], ctx["step"], ctx["eval_step"]
+    state = ctx["state"]
+
+    mesh = make_mesh()
+    bsh = batch_sharding(mesh)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    logger.info("mesh: %d device(s): %s", mesh.size, mesh.devices.ravel())
+
+    if args.resume_iteration > 0:
+        ckpt = os.path.join(paths["checkpoints"],
+                            f"{args.resume_iteration}_iterations.ckpt")
+        state = checkpoints.load_checkpoint(ckpt, state)
+        state = jax.device_put(state, replicated_sharding(mesh))
+        logger.info("resumed from %s", ckpt)
+
+    statistics = StatisticsContainer(paths["statistics"])
+    evaluator = Evaluator(eval_step, labels, DEFAULT.frames_per_second)
+    test_gt = _strong_labels(args, "testing")
+
+    it = int(jax.device_get(state.step))
+    t_train, t0 = 0.0, time.time()
+    batches = prefetch_to_device(gen.generate_train(), sharding=bsh)
+    for batch_x, batch_y in batches:
+        if it % args.eval_interval == 0:
+            jax.block_until_ready(state.params)
+            train_time = time.time() - t0
+            for split, reader in (("train", None), ("test", ctx["test_reader"])):
+                if split == "test" and reader is None:
+                    continue
+                g = gen.generate_validate(
+                    "train" if split == "train" else "validate",
+                    max_iteration=args.eval_max_iteration)
+                res = evaluator.evaluate(
+                    state, g,
+                    audio_names=(reader.audio_names if reader else None),
+                    ground_truth_events=test_gt if split == "test" else None)
+                at = res["at"]
+                msg = (f"iter {it} [{split}] mAP={at['mAP']:.4f} "
+                       f"macroF1={at['macro_f1']:.4f}")
+                stats = {"at": {k: at[k] for k in
+                                ("mAP", "macro_f1", "macro_precision",
+                                 "macro_recall")}}
+                if "sed" in res:
+                    ov = res["sed"]["overall"]
+                    msg += (f" segF1={ov['f_measure']['f_measure']:.4f} "
+                            f"ER={ov['error_rate']['error_rate']:.4f}")
+                    stats["sed"] = {
+                        "f_measure": ov["f_measure"]["f_measure"],
+                        "error_rate": ov["error_rate"]["error_rate"]}
+                logger.info(msg)
+                statistics.append(it, stats, split)
+            statistics.dump()
+            checkpoints.save_checkpoint(paths["checkpoints"], state, it)
+            logger.info("iter %d train_time %.1f s eval_time %.1f s",
+                        it, train_time, time.time() - t0 - train_time)
+            t0 = time.time()
+
+        if it >= args.stop_iteration:
+            break
+        state, metrics = step(state, batch_x, batch_y)
+        if it % 100 == 0:
+            logger.info("iter %d loss %.4f", it,
+                        float(jax.device_get(metrics["loss"])))
+        it += 1
+
+    checkpoints.save_checkpoint(paths["checkpoints"], state, it)
+    logger.info("done at iter %d", it)
+
+
+def _load_state_for_eval(args, ctx, paths):
+    state = ctx["state"]
+    if args.iteration is not None:
+        ckpt = os.path.join(paths["checkpoints"],
+                            f"{args.iteration}_iterations.ckpt")
+    else:
+        ckpt = checkpoints.latest_checkpoint(paths["checkpoints"])
+    if ckpt is None:
+        raise FileNotFoundError(
+            f"no checkpoint under {paths['checkpoints']}")
+    return checkpoints.load_checkpoint(ckpt, state), ckpt
+
+
+def do_inference(args) -> None:
+    """Forward a split, dump predictions pickle (reference: prediction dumps
+    consumed by calculate_metrics / optimize_*_thresholds)."""
+    paths = _paths(args)
+    create_folder(paths["predictions"])
+    ctx = _build(args, for_train=False)
+    state, ckpt = _load_state_for_eval(args, ctx, paths)
+    data_type = args.data_type
+
+    if data_type in ("testing", "validate", "test"):
+        reader, gen_split = ctx["test_reader"], "validate"
+    elif data_type == "training":
+        reader, gen_split = ctx["train_reader"], "train"
+    else:  # evaluation
+        reader = read_split(
+            os.path.join(args.workspace, "features", "evaluation.h5"),
+            load_waveform=args.feature_source == "waveform")
+        ctx["gen"].validate = reader
+        gen_split = "validate"
+
+    out = train_lib.forward_generator(
+        ctx["eval_step"], state,
+        ctx["gen"].generate_validate(gen_split))
+    out["audio_name"] = reader.audio_names
+    dump = os.path.join(paths["predictions"], f"{data_type}.pickle")
+    with open(dump, "wb") as f:
+        pickle.dump(out, f)
+    print(f"checkpoint: {ckpt}")
+    print(f"predictions → {dump}  clipwise {out['clipwise_output'].shape}")
+
+
+def _load_predictions(args, paths, data_type):
+    dump = os.path.join(paths["predictions"], f"{data_type}.pickle")
+    if not os.path.isfile(dump):
+        raise FileNotFoundError(
+            f"{dump} missing — run the inference subcommand first")
+    with open(dump, "rb") as f:
+        return pickle.load(f)
+
+
+def do_calculate_metrics(args) -> None:
+    """AT + SED metrics on dumped predictions; writes the submission TSV
+    (reference: calculate_metrics / official_evaluate path)."""
+    paths = _paths(args)
+    create_folder(paths["submissions"])
+    preds = _load_predictions(args, paths, args.data_type)
+
+    at_thr, sed_thr = 0.3, None
+    if args.use_optimized_thresholds:
+        at_p = os.path.join(paths["opt_thresholds"], "at.pickle")
+        sed_p = os.path.join(paths["opt_thresholds"], "sed.pickle")
+        if os.path.isfile(at_p):
+            with open(at_p, "rb") as f:
+                at_thr = pickle.load(f)["thresholds"]
+        if os.path.isfile(sed_p):
+            with open(sed_p, "rb") as f:
+                sed_thr = pickle.load(f)["sed_params"]
+
+    at = tagging_metrics(preds["clipwise_output"], preds["target"], at_thr)
+    print(f"[{args.data_type}] AT: mAP={at['mAP']:.4f} "
+          f"macroF1={at['macro_f1']:.4f} "
+          f"P={at['macro_precision']:.4f} R={at['macro_recall']:.4f}")
+
+    gt = _strong_labels(args, args.data_type)
+    events = sed.frame_prediction_to_event_prediction(
+        preds["framewise_output"], sed_thr, DEFAULT.frames_per_second, labels)
+    est = {preds["audio_name"][i]: events[i]
+           for i in range(len(preds["audio_name"]))}
+    sub = os.path.join(paths["submissions"],
+                       f"{args.data_type}_submission.csv")
+    scoring.write_submission(est, sub)
+    print(f"submission → {sub}")
+    if gt is not None:
+        m = scoring.segment_based_metrics(gt, est, 10.0, 1.0, labels)
+        ov = m["overall"]
+        print(f"[{args.data_type}] SED: segF1="
+              f"{ov['f_measure']['f_measure']:.4f} "
+              f"ER={ov['error_rate']['error_rate']:.4f} "
+              f"(S={ov['error_rate']['substitution_rate']:.3f} "
+              f"D={ov['error_rate']['deletion_rate']:.3f} "
+              f"I={ov['error_rate']['insertion_rate']:.3f})")
+
+
+def do_optimize_at_thresholds(args) -> None:
+    """Per-class AT threshold search maximizing macro-F1 on the validation
+    (testing) split (reference: optimize_at_thresholds, §3.5)."""
+    paths = _paths(args)
+    create_folder(paths["opt_thresholds"])
+    preds = _load_predictions(args, paths, "testing")
+    clip, tgt = preds["clipwise_output"], preds["target"]
+
+    def score(thr):
+        return tagging_metrics(clip, tgt, thr)["macro_f1"]
+
+    best, thr = autoth.optimize_thresholds(score, classes_num, init=0.3)
+    out = os.path.join(paths["opt_thresholds"], "at.pickle")
+    with open(out, "wb") as f:
+        pickle.dump({"thresholds": thr, "score": best}, f)
+    print(f"AT macro-F1 {score(np.full(classes_num, 0.3)):.4f} → {best:.4f}; "
+          f"thresholds → {out}")
+
+
+def do_optimize_sed_thresholds(args) -> None:
+    """Per-class SED high-threshold search (low = high/2) maximizing segment
+    F1 on the testing split (reference: optimize_sed_thresholds, §3.5)."""
+    paths = _paths(args)
+    create_folder(paths["opt_thresholds"])
+    preds = _load_predictions(args, paths, "testing")
+    gt = _strong_labels(args, "testing")
+    if gt is None:
+        raise FileNotFoundError("no strong ground truth for testing split")
+    fw, names = preds["framewise_output"], preds["audio_name"]
+    base = dict(sed.sed_params_dict)
+
+    def score(high):
+        params = dict(base, sed_high_threshold=high,
+                      sed_low_threshold=high * 0.5)
+        events = sed.frame_prediction_to_event_prediction(
+            fw, params, DEFAULT.frames_per_second, labels)
+        est = {names[i]: events[i] for i in range(len(names))}
+        m = scoring.segment_based_metrics(gt, est, 10.0, 1.0, labels)
+        return m["overall"]["f_measure"]["f_measure"]
+
+    best, thr = autoth.optimize_thresholds(score, classes_num, init=0.5,
+                                           step=0.05, max_iter=20)
+    params = dict(base, sed_high_threshold=thr, sed_low_threshold=thr * 0.5)
+    out = os.path.join(paths["opt_thresholds"], "sed.pickle")
+    with open(out, "wb") as f:
+        pickle.dump({"sed_params": params, "score": best}, f)
+    print(f"SED segment-F1 → {best:.4f}; params → {out}")
+
+
+def _add_common(sp):
+    sp.add_argument("--workspace", required=True)
+    sp.add_argument("--dataset_dir", default=None)
+    sp.add_argument("--model_type", default="Cnn_9layers_Gru_FrameAtt")
+    sp.add_argument("--loss_type", default="clip_bce")
+    sp.add_argument("--augmentation", default="none",
+                    choices=["none", "mixup"])
+    sp.add_argument("--batch_size", type=int, default=32)
+    sp.add_argument("--learning_rate", type=float, default=1e-3)
+    sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--feature_source", default="logmel",
+                    choices=["logmel", "waveform"])
+    sp.add_argument("--no_pallas", action="store_true",
+                    help="use the XLA logmel path instead of the Pallas kernel")
+    sp.add_argument("--cuda", action="store_true",
+                    help="accepted for reference-CLI parity; device selection "
+                         "is automatic under JAX")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    pt = sub.add_parser("train")
+    _add_common(pt)
+    pt.add_argument("--stop_iteration", type=int, default=10000)
+    pt.add_argument("--resume_iteration", type=int, default=0)
+    pt.add_argument("--eval_interval", type=int, default=1000)
+    pt.add_argument("--eval_max_iteration", type=int, default=10)
+    pt.set_defaults(func=do_train)
+
+    pi = sub.add_parser("inference")
+    _add_common(pi)
+    pi.add_argument("--data_type", default="testing",
+                    choices=["training", "testing", "evaluation"])
+    pi.add_argument("--iteration", type=int, default=None)
+    pi.set_defaults(func=do_inference)
+
+    pm = sub.add_parser("calculate_metrics")
+    _add_common(pm)
+    pm.add_argument("--data_type", default="testing",
+                    choices=["training", "testing", "evaluation"])
+    pm.add_argument("--use_optimized_thresholds", action="store_true")
+    pm.set_defaults(func=do_calculate_metrics)
+
+    pa = sub.add_parser("optimize_at_thresholds")
+    _add_common(pa)
+    pa.set_defaults(func=do_optimize_at_thresholds)
+
+    ps = sub.add_parser("optimize_sed_thresholds")
+    _add_common(ps)
+    ps.set_defaults(func=do_optimize_sed_thresholds)
+
+    args = p.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,12 +92,18 @@ def _remove_salt(active: np.ndarray, n_salt: int) -> np.ndarray:
 
 
 def binarize(framewise: np.ndarray,
-             high_threshold: float,
-             low_threshold: float,
+             high_threshold,
+             low_threshold,
              n_smooth: int = 1,
              n_salt: int = 1) -> np.ndarray:
-    """Hysteresis + smoothing + de-salting. ``[N, T, C] → uint8 [N, T, C]``."""
+    """Hysteresis + smoothing + de-salting. ``[N, T, C] → uint8 [N, T, C]``.
+
+    Thresholds may be scalars or per-class ``[C]`` arrays (numpy broadcasting
+    against ``[N, T, C]``) — per-class arrays feed the autoth optimization.
+    """
     probs = np.asarray(framewise)
+    high_threshold = np.asarray(high_threshold, np.float32)
+    low_threshold = np.asarray(low_threshold, np.float32)
     seeds = probs >= high_threshold
     act = (probs >= low_threshold).astype(np.uint8)
 

@@ -1,0 +1,65 @@
+"""Run statistics container (reference:
+``utils/utilities.py:StatisticsContainer``; SURVEY.md §2/§5).
+
+Appends ``{iteration, at metrics, sed metrics}`` records and pickles them at
+every evaluation, plus a timestamped backup — same schema, so plotting
+tooling written against the reference's ``statistics.pickle`` keeps working.
+A JSONL mirror is written alongside for grep-able observability.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import pickle
+from typing import Dict, List
+
+import numpy as np
+
+__all__ = ["StatisticsContainer"]
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj
+
+
+class StatisticsContainer:
+    def __init__(self, statistics_path: str):
+        self.statistics_path = statistics_path
+        self.backup_path = "{}_{}.pickle".format(
+            os.path.splitext(statistics_path)[0],
+            datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+        self.statistics_list: List[Dict] = []
+        os.makedirs(os.path.dirname(os.path.abspath(statistics_path)),
+                    exist_ok=True)
+
+    def append(self, iteration: int, statistics: Dict, data_type: str) -> None:
+        self.statistics_list.append(
+            {"iteration": iteration, "data_type": data_type, **statistics})
+
+    def dump(self) -> None:
+        with open(self.statistics_path, "wb") as f:
+            pickle.dump(self.statistics_list, f)
+        with open(self.backup_path, "wb") as f:
+            pickle.dump(self.statistics_list, f)
+        jsonl = os.path.splitext(self.statistics_path)[0] + ".jsonl"
+        with open(jsonl, "w") as f:
+            for rec in self.statistics_list:
+                f.write(json.dumps(_jsonable(rec)) + "\n")
+
+    def load(self, resume_iteration: int | None = None) -> None:
+        with open(self.statistics_path, "rb") as f:
+            self.statistics_list = pickle.load(f)
+        if resume_iteration is not None:
+            self.statistics_list = [
+                s for s in self.statistics_list
+                if s["iteration"] <= resume_iteration]
