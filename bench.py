@@ -1,0 +1,181 @@
+"""Benchmark: end-to-end log-mel + CRNN training throughput (clips/sec).
+
+Prints ONE JSON line to stdout:
+    {"metric": "...", "value": N, "unit": "clips/sec", "vs_baseline": N}
+
+* value: clips/sec of the fused waveform→logmel→CRNN train step on the
+  available TPU chip(s) (the BASELINE.json headline metric).
+* vs_baseline: ratio to the reference-style CPU pipeline (torch CPU,
+  STFT+mel frontend + the same CRNN topology, fwd+bwd+Adam) — the
+  BASELINE.json target is >10×. The CPU number is measured once and cached
+  in ``.bench_cpu_baseline.json`` (delete to re-measure).
+
+Batches are staged on device before timing: the hosting tunnel caps
+host→device bandwidth at ~20 MB/s, which is an artifact of this
+environment, not of the pipeline (a real v5e host feeds batches over PCIe
+at GB/s; the input pipeline double-buffers — see data/generator.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CPU_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+
+BATCH = 64
+STEPS = 30
+MODEL_TYPE = "Cnn_9layers_Gru_FrameAtt"
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_tpu() -> float:
+    import jax
+
+    from sound_event_detection_dcase2017_task4_tpu import train
+    from sound_event_detection_dcase2017_task4_tpu.config import DEFAULT
+    from sound_event_detection_dcase2017_task4_tpu.models import get_model
+    from sound_event_detection_dcase2017_task4_tpu.ops.stft import make_logmel_fn
+    from sound_event_detection_dcase2017_task4_tpu.parallel import (
+        batch_sharding, make_mesh, replicated_sharding)
+
+    cfg = DEFAULT
+    use_pallas = jax.default_backend() == "tpu"
+    model = get_model(MODEL_TYPE)
+    frontend = make_logmel_fn(cfg, use_pallas=use_pallas)
+    state, tx = train.create_train_state(model, cfg)
+    mean = np.full(cfg.mel_bins, -30.0, np.float32)
+    std = np.full(cfg.mel_bins, 15.0, np.float32)
+    step = train.make_train_step(model, tx, frontend=frontend,
+                                 scalar=(mean, std))
+
+    mesh = make_mesh()
+    state = jax.device_put(state, replicated_sharding(mesh))
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(BATCH, cfg.clip_samples) * 0.1).astype(np.float32)
+    target = (rng.rand(BATCH, 17) < 0.2).astype(np.float32)
+    xb = jax.device_put(wave, batch_sharding(mesh))
+    yb = jax.device_put(target, batch_sharding(mesh))
+
+    t0 = time.perf_counter()
+    state, _ = step(state, xb, yb)
+    jax.block_until_ready(state.params)
+    log(f"tpu: compile+first step {time.perf_counter() - t0:.1f}s "
+        f"(devices={mesh.size}, pallas={use_pallas})")
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, xb, yb)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / STEPS
+    cps = BATCH / dt
+    log(f"tpu: {cps:.0f} clips/s ({dt * 1e3:.1f} ms/step, batch {BATCH}, "
+        f"10 s clips, loss={float(jax.device_get(metrics['loss'])):.4f})")
+    return cps
+
+
+def bench_cpu_reference() -> float:
+    """Reference-style pipeline in torch on CPU: STFT+mel frontend + the
+    same CRNN topology (4×ConvBlock 64..512 + BiGRU(256) + att head),
+    fwd + bwd + Adam. Mirrors SURVEY.md §3.2/§3.4."""
+    if os.path.isfile(CPU_CACHE):
+        with open(CPU_CACHE) as f:
+            cached = json.load(f)
+        log(f"cpu: cached baseline {cached['clips_per_sec']:.2f} clips/s")
+        return cached["clips_per_sec"]
+
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class ConvBlock(nn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.c1 = nn.Conv2d(cin, cout, 3, padding=1, bias=False)
+            self.b1 = nn.BatchNorm2d(cout)
+            self.c2 = nn.Conv2d(cout, cout, 3, padding=1, bias=False)
+            self.b2 = nn.BatchNorm2d(cout)
+
+        def forward(self, x):
+            x = torch.relu(self.b1(self.c1(x)))
+            x = torch.relu(self.b2(self.c2(x)))
+            return torch.nn.functional.avg_pool2d(x, 2)
+
+    class Crnn(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = nn.Sequential(
+                ConvBlock(1, 64), ConvBlock(64, 128),
+                ConvBlock(128, 256), ConvBlock(256, 512))
+            self.gru = nn.GRU(512, 256, batch_first=True, bidirectional=True)
+            self.att = nn.Linear(512, 17)
+            self.cla = nn.Linear(512, 17)
+
+        def forward(self, x):                    # [B, T, F]
+            x = self.blocks(x[:, None]).mean(dim=3).transpose(1, 2)
+            x, _ = self.gru(x)
+            att = torch.softmax(torch.clamp(self.att(x), -10, 10), dim=1)
+            cla = torch.sigmoid(self.cla(x))
+            return (att * cla).sum(dim=1)
+
+    sr, n_fft, hop, n_mels = 32000, 1024, 320, 64
+    win = torch.hann_window(n_fft)
+    from sound_event_detection_dcase2017_task4_tpu.ops.dsp import mel_filterbank
+    mel_w = torch.from_numpy(mel_filterbank(sr, n_fft, n_mels, 50, 14000))
+
+    model = Crnn()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+    bsz = 4
+    wave = torch.randn(bsz, 320000) * 0.1
+    target = (torch.rand(bsz, 17) < 0.2).float()
+
+    def step():
+        spec = torch.stft(wave, n_fft, hop, window=win, center=True,
+                          pad_mode="reflect", return_complex=True)
+        power = spec.abs().pow(2).transpose(1, 2)          # [B, T, F]
+        logmel = 10.0 * torch.log10(
+            torch.clamp(power @ mel_w, min=1e-10))
+        logmel = (logmel + 30.0) / 15.0
+        out = model(logmel)
+        loss = torch.nn.functional.binary_cross_entropy(out, target)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()                                       # warm-up
+    n_steps = 2
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    dt = (time.perf_counter() - t0) / n_steps
+    cps = bsz / dt
+    log(f"cpu: {cps:.2f} clips/s ({dt:.2f} s/step, batch {bsz}, torch "
+        f"{os.environ.get('OMP_NUM_THREADS', 'default')} threads)")
+    with open(CPU_CACHE, "w") as f:
+        json.dump({"clips_per_sec": cps, "batch": bsz,
+                   "measured_at": time.time()}, f)
+    return cps
+
+
+def main():
+    cpu_cps = bench_cpu_reference()
+    tpu_cps = bench_tpu()
+    print(json.dumps({
+        "metric": "logmel+CRNN train throughput (10s clips, batch 64)",
+        "value": round(tpu_cps, 1),
+        "unit": "clips/sec",
+        "vs_baseline": round(tpu_cps / cpu_cps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

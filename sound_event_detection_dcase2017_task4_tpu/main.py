@@ -37,7 +37,8 @@ from .data import DataGenerator, load_scalar, prefetch_to_device, read_split
 from .evaluate import Evaluator, tagging_metrics
 from .models import get_model
 from .ops.stft import make_logmel_fn
-from .parallel import batch_sharding, make_mesh, replicated_sharding
+from .parallel import (batch_sharding, make_mesh_for_batch,
+                       replicated_sharding)
 from .utils import StatisticsContainer, create_folder, create_logging
 
 
@@ -118,7 +119,7 @@ def do_train(args) -> None:
     gen, step, eval_step = ctx["gen"], ctx["step"], ctx["eval_step"]
     state = ctx["state"]
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(args.batch_size)
     bsh = batch_sharding(mesh)
     state = jax.device_put(state, replicated_sharding(mesh))
     logger.info("mesh: %d device(s): %s", mesh.size, mesh.devices.ravel())

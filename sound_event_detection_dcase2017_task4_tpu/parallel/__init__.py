@@ -9,8 +9,8 @@ all-reduce and cross-chip BatchNorm reductions over ICI from the sharding
 annotations — there is no hand-written communication code to port.
 """
 
-from .mesh import (batch_sharding, make_mesh, replicated_sharding,
-                   shard_batch)
+from .mesh import (batch_sharding, make_mesh, make_mesh_for_batch,
+                   replicated_sharding, shard_batch)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch"]
+__all__ = ["make_mesh", "make_mesh_for_batch", "batch_sharding",
+           "replicated_sharding", "shard_batch"]

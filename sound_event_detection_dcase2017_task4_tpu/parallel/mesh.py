@@ -37,6 +37,19 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_mesh_for_batch(batch_size: int,
+                        devices: Optional[Sequence] = None,
+                        axis_name: str = DATA_AXIS) -> Mesh:
+    """Largest mesh whose size divides ``batch_size`` (a global batch must
+    shard evenly on the data axis)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard axis 0 (batch) across the mesh; trailing axes replicated."""
     return NamedSharding(mesh, P(axis_name))

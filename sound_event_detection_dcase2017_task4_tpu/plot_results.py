@@ -1,0 +1,95 @@
+"""Plot metric-vs-iteration curves from statistics pickles.
+
+Reference surface (SURVEY.md §2 "Plotting"): ``utils/plot_results.py`` reads
+``statistics.pickle`` for several model types and renders metric curves to
+PNG. Same here; works with the identical pickle schema this framework writes
+(``StatisticsContainer``). Matplotlib is imported lazily and the command
+degrades to a text table when it is unavailable.
+
+Usage::
+
+    python -m sound_event_detection_dcase2017_task4_tpu.plot_results \
+        --workspace=$WORKSPACE --out=results.png \
+        [--model_types Cnn_9layers_Gru_FrameAtt ...] [--metric at.mAP]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import pickle
+from typing import Dict, List
+
+
+def _load_runs(workspace: str, model_types: List[str] | None) -> Dict[str, list]:
+    runs: Dict[str, list] = {}
+    pattern = os.path.join(workspace, "statistics", "main", "model_type=*",
+                           "*", "*", "*", "statistics.pickle")
+    for path in sorted(glob.glob(pattern)):
+        mt = [seg.split("=", 1)[1] for seg in path.split(os.sep)
+              if seg.startswith("model_type=")][0]
+        if model_types and mt not in model_types:
+            continue
+        with open(path, "rb") as f:
+            runs[mt] = pickle.load(f)
+    return runs
+
+
+def _extract(records: list, metric: str, data_type: str):
+    group, key = metric.split(".", 1)
+    xs, ys = [], []
+    for rec in records:
+        if rec.get("data_type") != data_type or group not in rec:
+            continue
+        val = rec[group].get(key)
+        if val is not None:
+            xs.append(rec["iteration"])
+            ys.append(val)
+    return xs, ys
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workspace", required=True)
+    p.add_argument("--out", default="results.png")
+    p.add_argument("--model_types", nargs="*", default=None)
+    p.add_argument("--metric", default="at.mAP",
+                   help="'<group>.<key>', e.g. at.mAP, at.macro_f1, "
+                        "sed.f_measure, sed.error_rate")
+    p.add_argument("--data_type", default="test", choices=["train", "test"])
+    args = p.parse_args(argv)
+
+    runs = _load_runs(args.workspace, args.model_types)
+    if not runs:
+        raise SystemExit(f"no statistics found under {args.workspace}")
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        for mt, records in runs.items():
+            xs, ys = _extract(records, args.metric, args.data_type)
+            print(f"# {mt} ({args.metric}, {args.data_type})")
+            for x, y in zip(xs, ys):
+                print(f"{x}\t{y:.4f}")
+        return
+
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for mt, records in runs.items():
+        xs, ys = _extract(records, args.metric, args.data_type)
+        if xs:
+            ax.plot(xs, ys, marker="o", markersize=3, label=mt)
+    ax.set_xlabel("iteration")
+    ax.set_ylabel(args.metric)
+    ax.set_title(f"{args.metric} on {args.data_type}")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(args.out, dpi=150)
+    print(f"plot → {args.out}")
+
+
+if __name__ == "__main__":
+    main()
