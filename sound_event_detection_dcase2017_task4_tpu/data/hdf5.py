@@ -142,22 +142,44 @@ def scale(x: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
 
 
 class SplitReader:
-    """Loads one split HDF5 fully into RAM (the reference keeps features in
-    memory too — the whole corpus is only ~13 GB of f32 log-mel; test/eval
-    splits are tiny)."""
+    """Read one split HDF5, either fully in RAM or lazily.
 
-    def __init__(self, path: str, load_waveform: bool = False):
-        with h5py.File(path, "r") as hf:
-            self.audio_names = [n.decode("utf-8") for n in hf["audio_name"][:]]
-            self.target = hf["target"][:].astype(np.float32)
-            self.feature = hf["feature"][:]
-            self.waveform = (
-                hf["waveform"][:] if load_waveform and "waveform" in hf
-                else None)
+    ``in_memory=True`` mirrors the reference (features in RAM — fine for the
+    ~13 GB log-mel corpus and for the tiny test/eval splits).
+    ``in_memory=False`` keeps the h5py datasets open and reads batch slices
+    on demand — required for waveform-source training on the full 51k-clip
+    corpus (~65 GB of f32 waveforms); the prefetch thread
+    (``generator.prefetch_to_device``) hides the read latency behind the
+    device step. Batch index arrays must be sorted ascending (h5py fancy
+    indexing contract); ``DataGenerator`` guarantees that.
+    """
+
+    def __init__(self, path: str, load_waveform: bool = False,
+                 in_memory: bool = True):
+        self._hf = h5py.File(path, "r")
+        self.audio_names = [n.decode("utf-8")
+                            for n in self._hf["audio_name"][:]]
+        self.target = self._hf["target"][:].astype(np.float32)
+        has_wave = load_waveform and "waveform" in self._hf
+        if in_memory:
+            self.feature = self._hf["feature"][:]
+            self.waveform = self._hf["waveform"][:] if has_wave else None
+            self._hf.close()
+            self._hf = None
+        else:
+            self.feature = self._hf["feature"]          # lazy h5py dataset
+            self.waveform = self._hf["waveform"] if has_wave else None
 
     def __len__(self) -> int:
         return len(self.audio_names)
 
+    def close(self) -> None:
+        if self._hf is not None:
+            self._hf.close()
+            self._hf = None
 
-def read_split(path: str, load_waveform: bool = False) -> SplitReader:
-    return SplitReader(path, load_waveform=load_waveform)
+
+def read_split(path: str, load_waveform: bool = False,
+               in_memory: bool = True) -> SplitReader:
+    return SplitReader(path, load_waveform=load_waveform,
+                       in_memory=in_memory)

@@ -75,11 +75,14 @@ def _build(args, for_train: bool):
     """Shared setup: readers, generator, model, steps, mesh."""
     ws = args.workspace
     feature_source = args.feature_source
+    in_memory = not getattr(args, "lazy_data", False)
     train_reader = read_split(os.path.join(ws, "features", "training.h5"),
-                              load_waveform=feature_source == "waveform")
+                              load_waveform=feature_source == "waveform",
+                              in_memory=in_memory)
     test_path = os.path.join(ws, "features", "testing.h5")
     test_reader = (read_split(test_path,
-                              load_waveform=feature_source == "waveform")
+                              load_waveform=feature_source == "waveform",
+                              in_memory=in_memory)
                    if os.path.isfile(test_path) else None)
 
     scalar = load_scalar(os.path.join(ws, "scalars", "training.h5"))
@@ -87,7 +90,11 @@ def _build(args, for_train: bool):
                         batch_size=args.batch_size, scalar=scalar,
                         seed=args.seed, feature_source=feature_source)
 
-    model = get_model(args.model_type, classes_num)
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if getattr(args, "dtype", "f32") == "bf16" else jnp.float32
+    model = get_model(args.model_type, classes_num, dtype=dtype,
+                      remat=getattr(args, "remat", False))
     frontend = (make_logmel_fn(DEFAULT, use_pallas=not args.no_pallas)
                 if feature_source == "waveform" else None)
     # waveform path: normalization happens on device after the frontend
@@ -175,7 +182,14 @@ def do_train(args) -> None:
 
         if it >= args.stop_iteration:
             break
+        if args.profile_dir and it == args.profile_start:
+            jax.profiler.start_trace(args.profile_dir)
+            logger.info("profiler trace started → %s", args.profile_dir)
         state, metrics = step(state, batch_x, batch_y)
+        if args.profile_dir and it == args.profile_start + 4:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            logger.info("profiler trace stopped (5 steps)")
         if it % 100 == 0:
             logger.info("iter %d loss %.4f", it,
                         float(jax.device_get(metrics["loss"])))
@@ -344,6 +358,12 @@ def _add_common(sp):
                     choices=["logmel", "waveform"])
     sp.add_argument("--no_pallas", action="store_true",
                     help="use the XLA logmel path instead of the Pallas kernel")
+    sp.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="model compute dtype (params stay f32)")
+    sp.add_argument("--remat", action="store_true",
+                    help="rematerialize conv blocks (large-batch memory)")
+    sp.add_argument("--lazy_data", action="store_true",
+                    help="stream batches from HDF5 instead of loading to RAM")
     sp.add_argument("--cuda", action="store_true",
                     help="accepted for reference-CLI parity; device selection "
                          "is automatic under JAX")
@@ -359,6 +379,9 @@ def main(argv=None) -> None:
     pt.add_argument("--resume_iteration", type=int, default=0)
     pt.add_argument("--eval_interval", type=int, default=1000)
     pt.add_argument("--eval_max_iteration", type=int, default=10)
+    pt.add_argument("--profile_dir", default=None,
+                    help="capture a jax.profiler trace of 5 train steps here")
+    pt.add_argument("--profile_start", type=int, default=10)
     pt.set_defaults(func=do_train)
 
     pi = sub.add_parser("inference")

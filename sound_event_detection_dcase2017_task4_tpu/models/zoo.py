@@ -110,6 +110,11 @@ class SedCnn(nn.Module):
     transformer_layers: int = 2
     dropout: float = 0.2
     dtype: jnp.dtype = jnp.float32
+    # rematerialize conv blocks in backward: the first block's activations
+    # are [B, 1001, 64, 64] (≈4 GB at batch 256 f32) — remat trades ~20%
+    # FLOPs for O(block) instead of O(network) activation memory, unlocking
+    # large batches on a 16 GB v5e chip.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, logmel: jnp.ndarray, train: bool = False) -> dict:
@@ -117,6 +122,8 @@ class SedCnn(nn.Module):
         x = logmel[..., None].astype(self.dtype)              # [B, T, F, 1]
 
         block_cls = {"conv": ConvBlock, "glu": GLUBlock}[self.block]
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         for ch in self.channels:
             x = block_cls(ch, pool=(2, 2), dtype=self.dtype)(x, train)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -184,11 +191,11 @@ MODEL_REGISTRY: dict[str, dict] = {
 
 
 def get_model(model_type: str, classes_num: int = _default_classes,
-              dtype: jnp.dtype = jnp.float32) -> SedCnn:
+              dtype: jnp.dtype = jnp.float32, remat: bool = False) -> SedCnn:
     """Instantiate a model by its reference ``--model_type`` string."""
     if model_type not in MODEL_REGISTRY:
         raise KeyError(
             f"unknown model_type {model_type!r}; available: "
             f"{sorted(MODEL_REGISTRY)}")
-    return SedCnn(classes_num=classes_num, dtype=dtype,
+    return SedCnn(classes_num=classes_num, dtype=dtype, remat=remat,
                   **MODEL_REGISTRY[model_type])

@@ -81,30 +81,33 @@ def _plan(cfg: Config):
 
 
 def _kernel(lag_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
-            n_seg: int, ref_db: float, amin: float):
+            n_seg: int, ref_db: float, amin: float, precision):
     # precision=HIGHEST: the MXU multiplies in bf16 by default; the DFT is
     # part of the bit-compat contract with the XLA reference path, so force
-    # the multi-pass f32 formulation (bf16x3). Still MXU-bound, ~3× flops.
-    hi = jax.lax.Precision.HIGHEST
+    # the multi-pass f32 formulation (bf16x3, ~3× flops) on the packing
+    # path. Training can use the single-pass "fast" mode (~0.02 dB noise on
+    # an input that is normalized right after — irrelevant to learning).
     re = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
     im = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
     for j in range(n_seg):
         seg = lag_ref[0, j]                                  # [F, hop_pad]
         re += jnp.dot(seg, cos_ref[j], preferred_element_type=jnp.float32,
-                      precision=hi)
+                      precision=precision)
         im += jnp.dot(seg, sin_ref[j], preferred_element_type=jnp.float32,
-                      precision=hi)
+                      precision=precision)
 
     power = re * re + im * im                                # [F, f_pad]
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
-                  precision=hi)
+                  precision=precision)
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel)) - ref_db
     out_ref[0] = log_spec
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "interpret", "precision"))
 def logmel_pallas(
-    waveform: jnp.ndarray, cfg: Config = DEFAULT, interpret: bool = False
+    waveform: jnp.ndarray, cfg: Config = DEFAULT, interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Fused log-mel: ``[B, clip_samples] f32 → [B, frames_num, mel] f32``.
 
@@ -136,8 +139,11 @@ def logmel_pallas(
     lag = jnp.stack([chunks[:, j : j + n_out] for j in range(n_seg)], axis=1)
 
     ref_db = float(10.0 * np.log10(max(cfg.log_amin, cfg.log_ref)))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(
-        _kernel, n_seg=n_seg, ref_db=ref_db, amin=cfg.log_amin
+        _kernel, n_seg=n_seg, ref_db=ref_db, amin=cfg.log_amin,
+        precision=prec
     )
 
     out = pl.pallas_call(

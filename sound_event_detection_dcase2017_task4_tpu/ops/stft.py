@@ -89,14 +89,18 @@ def _logmel_impl(waveform, cos_mat, sin_mat, mel_w, cfg: Config):
     return log_spec
 
 
-def make_logmel_fn(cfg: Config = DEFAULT, use_pallas: bool = False):
+def make_logmel_fn(cfg: Config = DEFAULT, use_pallas: bool = False,
+                   precision: str = "highest"):
     """Return a jittable ``waveform -> logmel`` closure.
 
     ``use_pallas=True`` selects the fused Pallas kernel (TPU only); both
     backends share this signature and are tested for agreement.
+    ``precision="fast"`` uses single-pass bf16 MXU matmuls in the kernel
+    (~0.02 dB noise) — right for the training hot path; feature packing
+    keeps "highest" (the librosa bit-compat contract).
     """
     if use_pallas:
         from .pallas_logmel import logmel_pallas
 
-        return functools.partial(logmel_pallas, cfg=cfg)
+        return functools.partial(logmel_pallas, cfg=cfg, precision=precision)
     return functools.partial(logmel, cfg=cfg)

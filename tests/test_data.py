@@ -1,0 +1,119 @@
+"""Data layer tests: HDF5 contract, scalar, generator, lazy mode, prefetch."""
+
+import os
+
+import numpy as np
+import pytest
+
+from sound_event_detection_dcase2017_task4_tpu.config import Config
+from sound_event_detection_dcase2017_task4_tpu.data import (
+    DataGenerator, calculate_scalar, load_scalar, make_synthetic_dataset,
+    pack_waveforms_to_hdf5, pad_or_truncate, prefetch_to_device, read_split,
+    scale)
+
+
+@pytest.fixture(scope="module")
+def split_h5(tmp_path_factory):
+    cfg = Config(clip_samples=16000)
+    clips = make_synthetic_dataset(10, cfg, seed=0)
+    path = str(tmp_path_factory.mktemp("h5") / "training.h5")
+    pack_waveforms_to_hdf5(
+        (c.waveform for c in clips), [c.audio_name for c in clips],
+        np.stack([c.weak_target for c in clips]), path, cfg,
+        store_waveform=True, batch_size=4)
+    return path, cfg, clips
+
+
+def test_hdf5_layout(split_h5):
+    import h5py
+
+    path, cfg, clips = split_h5
+    with h5py.File(path, "r") as hf:
+        assert set(hf.keys()) == {"audio_name", "feature", "target",
+                                  "waveform"}
+        assert hf["feature"].shape == (10, cfg.frames_num, cfg.mel_bins)
+        assert hf["feature"].dtype == np.float32
+        assert hf["target"].shape == (10, 17)
+        assert hf["waveform"].shape == (10, cfg.clip_samples)
+        assert hf.attrs["sample_rate"] == cfg.sample_rate
+
+
+def test_packed_features_match_direct_logmel(split_h5):
+    from sound_event_detection_dcase2017_task4_tpu.ops.stft import logmel
+
+    path, cfg, clips = split_h5
+    r = read_split(path)
+    direct = np.asarray(logmel(clips[3].waveform[None], cfg))[0]
+    np.testing.assert_allclose(r.feature[3], direct, atol=1e-4)
+
+
+def test_lazy_reader_matches_memory(split_h5):
+    path, cfg, _ = split_h5
+    mem = read_split(path, load_waveform=True, in_memory=True)
+    lazy = read_split(path, load_waveform=True, in_memory=False)
+    idx = np.array([1, 4, 7])
+    np.testing.assert_array_equal(mem.feature[idx], lazy.feature[idx])
+    np.testing.assert_array_equal(mem.waveform[idx], lazy.waveform[idx])
+    assert mem.audio_names == lazy.audio_names
+    lazy.close()
+
+
+def test_scalar_roundtrip(split_h5, tmp_path):
+    path, cfg, _ = split_h5
+    scalar_path = str(tmp_path / "scalar.h5")
+    mean, std = calculate_scalar(path, scalar_path)
+    assert mean.shape == std.shape == (cfg.mel_bins,)
+    m2, s2 = load_scalar(scalar_path)
+    np.testing.assert_allclose(mean, m2)
+    np.testing.assert_allclose(std, s2)
+    # normalization: scaled training data has ~zero mean / unit std
+    r = read_split(path)
+    scaled = scale(r.feature.reshape(-1, cfg.mel_bins), mean, std)
+    np.testing.assert_allclose(scaled.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(scaled.std(axis=0), 1.0, atol=1e-3)
+
+
+def test_generator_shapes_and_determinism(split_h5):
+    path, cfg, _ = split_h5
+    r = read_split(path)
+    g1 = DataGenerator(r, batch_size=4, seed=7).generate_train()
+    g2 = DataGenerator(r, batch_size=4, seed=7).generate_train()
+    for _ in range(5):
+        (x1, y1), (x2, y2) = next(g1), next(g2)
+        assert x1.shape == (4, cfg.frames_num, cfg.mel_bins)
+        assert y1.shape == (4, 17)
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(y1, y2)
+
+
+def test_generator_validate_covers_split(split_h5):
+    path, _, _ = split_h5
+    r = read_split(path)
+    gen = DataGenerator(r, validate=r, batch_size=4)
+    batches = list(gen.generate_validate("validate"))
+    assert sum(b[0].shape[0] for b in batches) == 10  # ragged last batch
+
+
+def test_generator_waveform_source(split_h5):
+    path, cfg, _ = split_h5
+    r = read_split(path, load_waveform=True)
+    gen = DataGenerator(r, batch_size=2, feature_source="waveform")
+    x, y = next(gen.generate_train())
+    assert x.shape == (2, cfg.clip_samples)
+
+
+def test_pad_or_truncate():
+    x = np.ones(5, np.float32)
+    assert pad_or_truncate(x, 3).shape == (3,)
+    out = pad_or_truncate(x, 8)
+    assert out.shape == (8,)
+    assert out[5:].sum() == 0
+
+
+def test_prefetch_to_device(split_h5):
+    path, _, _ = split_h5
+    r = read_split(path)
+    gen = DataGenerator(r, validate=r, batch_size=4)
+    items = list(prefetch_to_device(gen.generate_validate("validate")))
+    assert len(items) == 3
+    assert items[0][0].shape[0] == 4
