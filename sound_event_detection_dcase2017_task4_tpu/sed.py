@@ -34,8 +34,8 @@ import numpy as np
 
 from .config import frames_per_second as _fps_default, idx_to_lb
 
-__all__ = ["sed_params_dict", "binarize", "events_from_binary",
-           "frame_prediction_to_event_prediction"]
+__all__ = ["sed_params_dict", "binarize", "binarize_jax",
+           "events_from_binary", "frame_prediction_to_event_prediction"]
 
 # Default decode knobs (reference: sed_params_dict keys like
 # 'sed_high_threshold', 'sed_low_threshold', 'n_smooth', 'n_salt';
@@ -125,6 +125,64 @@ def binarize(framewise: np.ndarray,
     act = _fill_gaps(act, n_smooth)
     act = _remove_salt(act, n_salt)
     return act
+
+
+def binarize_jax(framewise, high_threshold, low_threshold,
+                 n_smooth: int = 1, n_salt: int = 1):
+    """On-device decode stages 1–3 (jit-compatible twin of :func:`binarize`).
+
+    Same semantics, expressed as XLA-friendly primitives on ``[N, T, C]``:
+
+    * hysteresis — two associative boolean scans
+      (``keep_i = act_i & (seed_i | keep_{i-1})`` forward and backward);
+    * gap fill — morphological closing with a flat length-``n_smooth``
+      element (max-pool then min-pool, full padding: fills gaps strictly
+      shorter than ``n_smooth``, leaves leading/trailing gaps open);
+    * de-salt — morphological opening with length ``n_salt`` (min-pool then
+      max-pool: drops runs strictly shorter than ``n_salt``).
+
+    Returns a uint8 jax array; verified against the numpy path in
+    ``tests/test_sed_decode.py``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    probs = jnp.asarray(framewise)
+    seeds = probs >= jnp.asarray(high_threshold, jnp.float32)
+    act = probs >= jnp.asarray(low_threshold, jnp.float32)
+
+    def hyst_scan(a, s, reverse):
+        def step(carry, x):
+            out = x[0] & (x[1] | carry)
+            return out, out
+
+        _, kept = jax.lax.scan(step, jnp.zeros(a.shape[1:], bool),
+                               (a, s), reverse=reverse)
+        return kept
+
+    a_t = jnp.swapaxes(act, 0, 1)          # scan over time axis
+    s_t = jnp.swapaxes(seeds, 0, 1)
+    fwd = hyst_scan(a_t, s_t, reverse=False)
+    bwd = hyst_scan(a_t, s_t, reverse=True)
+    kept = jnp.swapaxes(fwd | bwd, 0, 1).astype(jnp.float32)
+
+    def pool(x, n, reducer, init, pad_value=None):
+        # pad_value set → "full" padding (n-1 both sides, length T+n-1);
+        # pad_value None → VALID, shrinking length by n-1 back to T.
+        if pad_value is not None:
+            x = jnp.pad(x, ((0, 0), (n - 1, n - 1), (0, 0)),
+                        constant_values=pad_value)
+        return jax.lax.reduce_window(
+            x, init, reducer, window_dimensions=(1, n, 1),
+            window_strides=(1, 1, 1), padding="VALID")
+
+    if n_smooth > 1:                        # closing: dilate(full) → erode
+        kept = pool(kept, n_smooth, jax.lax.max, -jnp.inf, pad_value=0.0)
+        kept = pool(kept, n_smooth, jax.lax.min, jnp.inf)
+    if n_salt > 1:                          # opening: erode(full) → dilate
+        kept = pool(kept, n_salt, jax.lax.min, jnp.inf, pad_value=0.0)
+        kept = pool(kept, n_salt, jax.lax.max, -jnp.inf)
+    return kept.astype(jnp.uint8)
 
 
 def events_from_binary(active: np.ndarray,

@@ -1,0 +1,131 @@
+"""Tests for tagging metrics, autoth optimizer, statistics container, plotting."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from sound_event_detection_dcase2017_task4_tpu import autoth
+from sound_event_detection_dcase2017_task4_tpu.evaluate import tagging_metrics
+from sound_event_detection_dcase2017_task4_tpu.utils import StatisticsContainer
+
+
+class TestTaggingMetrics:
+    def test_perfect_predictions(self):
+        target = np.eye(4, dtype=np.float32)
+        m = tagging_metrics(target.copy(), target, 0.5, ["a", "b", "c", "d"])
+        assert m["mAP"] == 1.0
+        assert m["macro_f1"] == 1.0
+
+    def test_random_baseline_map(self):
+        rng = np.random.RandomState(0)
+        target = (rng.rand(400, 5) < 0.3).astype(np.float32)
+        clip = rng.rand(400, 5).astype(np.float32)
+        m = tagging_metrics(clip, target, 0.5, list("abcde"))
+        # AP of random scores ≈ positive rate
+        assert 0.2 < m["mAP"] < 0.45
+
+    def test_against_sklearn_f1(self):
+        from sklearn.metrics import f1_score
+
+        rng = np.random.RandomState(1)
+        target = (rng.rand(100, 3) < 0.4).astype(np.float32)
+        clip = rng.rand(100, 3).astype(np.float32)
+        m = tagging_metrics(clip, target, 0.5, list("abc"))
+        for k in range(3):
+            ref = f1_score(target[:, k], clip[:, k] >= 0.5)
+            np.testing.assert_allclose(m["f1"][k], ref, atol=1e-9)
+
+    def test_per_class_thresholds(self):
+        target = np.array([[1, 0], [0, 1], [1, 0]], np.float32)
+        clip = np.array([[0.4, 0.1], [0.2, 0.9], [0.45, 0.2]], np.float32)
+        # class-0 threshold 0.3 captures both positives; scalar 0.5 misses
+        m_lo = tagging_metrics(clip, target, np.array([0.3, 0.5]))
+        m_hi = tagging_metrics(clip, target, 0.5)
+        assert m_lo["f1"][0] > m_hi["f1"][0]
+
+    def test_no_positives_class_excluded_from_macro(self):
+        target = np.zeros((10, 2), np.float32)
+        target[:, 0] = 1.0
+        clip = np.full((10, 2), 0.9, np.float32)
+        m = tagging_metrics(clip, target, 0.5, ["a", "b"])
+        assert m["macro_f1"] == 1.0           # class b (no positives) excluded
+        assert np.isnan(m["average_precision"][1])
+
+
+class TestAutoth:
+    def test_recovers_known_optimum(self):
+        # score peaked at thresholds [0.2, 0.6, 0.4]
+        opt = np.array([0.2, 0.6, 0.4])
+
+        def score(thr):
+            return -np.abs(np.asarray(thr) - opt).sum()
+
+        best, thr = autoth.optimize_thresholds(score, 3, init=0.5,
+                                               step=0.05, max_iter=100)
+        np.testing.assert_allclose(thr, opt, atol=0.02)
+
+    def test_monotone_improvement(self):
+        rng = np.random.RandomState(0)
+        target = (rng.rand(200, 4) < 0.3).astype(np.float32)
+        clip = np.clip(target * 0.6 + rng.rand(200, 4) * 0.4, 0, 1)
+
+        def score(thr):
+            return tagging_metrics(clip, target, thr)["macro_f1"]
+
+        base = score(np.full(4, 0.3))
+        best, thr = autoth.optimize_thresholds(score, 4, init=0.3)
+        assert best >= base
+
+
+class TestStatisticsContainer:
+    def test_append_dump_load(self, tmp_path):
+        path = str(tmp_path / "statistics.pickle")
+        c = StatisticsContainer(path)
+        c.append(0, {"at": {"mAP": 0.5}}, "test")
+        c.append(1000, {"at": {"mAP": 0.7}}, "test")
+        c.dump()
+        assert os.path.isfile(path)
+        assert os.path.isfile(os.path.splitext(path)[0] + ".jsonl")
+
+        c2 = StatisticsContainer(path)
+        c2.load()
+        assert len(c2.statistics_list) == 2
+        c2.load(resume_iteration=0)
+        assert len(c2.statistics_list) == 1
+
+    def test_jsonl_mirror_is_valid(self, tmp_path):
+        import json
+
+        path = str(tmp_path / "statistics.pickle")
+        c = StatisticsContainer(path)
+        c.append(0, {"at": {"f1": np.float32(0.25),
+                            "per_class": np.array([1.0, 2.0])}}, "train")
+        c.dump()
+        with open(os.path.splitext(path)[0] + ".jsonl") as f:
+            rec = json.loads(f.readline())
+        assert rec["at"]["f1"] == 0.25
+        assert rec["at"]["per_class"] == [1.0, 2.0]
+
+
+def test_plot_results_text_fallback(tmp_path, capsys, monkeypatch):
+    from sound_event_detection_dcase2017_task4_tpu import plot_results
+
+    ws = tmp_path
+    stats_dir = (ws / "statistics" / "main" / "model_type=TestNet" /
+                 "loss_type=clip_bce" / "augmentation=none" / "batch_size=8")
+    stats_dir.mkdir(parents=True)
+    records = [
+        {"iteration": 0, "data_type": "test", "at": {"mAP": 0.3}},
+        {"iteration": 1000, "data_type": "test", "at": {"mAP": 0.6}},
+    ]
+    with open(stats_dir / "statistics.pickle", "wb") as f:
+        pickle.dump(records, f)
+
+    out_png = str(ws / "out.png")
+    plot_results.main([f"--workspace={ws}", f"--out={out_png}",
+                       "--metric=at.mAP"])
+    # either a PNG was rendered (matplotlib available) or the text fallback
+    if not os.path.isfile(out_png):
+        assert "TestNet" in capsys.readouterr().out

@@ -62,6 +62,37 @@ class TestBinarize:
         np.testing.assert_array_equal(a[0, :, 0], [1, 1, 1, 1, 0])
 
 
+class TestBinarizeJax:
+    """The on-device decode must agree exactly with the numpy reference."""
+
+    def test_matches_numpy_randomized(self):
+        rng = np.random.RandomState(0)
+        probs = rng.rand(4, 120, 5).astype(np.float32)
+        # structured regions so hysteresis/smooth/salt all trigger
+        probs[0, 10:30, 0] = 0.9
+        probs[0, 32:34, 0] = 0.25
+        probs[1, 50:52, 2] = 0.95
+        for high, low, n_smooth, n_salt in [
+            (0.5, 0.2, 1, 1), (0.5, 0.2, 5, 1), (0.5, 0.2, 1, 5),
+            (0.8, 0.3, 10, 10), (0.5, 0.5, 3, 3), (0.9, 0.1, 7, 4),
+        ]:
+            ref = sed.binarize(probs, high, low, n_smooth, n_salt)
+            out = np.asarray(sed.binarize_jax(probs, high, low,
+                                              n_smooth, n_salt))
+            np.testing.assert_array_equal(
+                out, ref,
+                err_msg=f"params {(high, low, n_smooth, n_salt)}")
+
+    def test_per_class_thresholds(self):
+        rng = np.random.RandomState(1)
+        probs = rng.rand(2, 60, 3).astype(np.float32)
+        high = np.array([0.9, 0.5, 0.7], np.float32)
+        low = high * 0.5
+        ref = sed.binarize(probs, high, low, 4, 4)
+        out = np.asarray(sed.binarize_jax(probs, high, low, 4, 4))
+        np.testing.assert_array_equal(out, ref)
+
+
 class TestEvents:
     def test_runs_to_seconds(self):
         active = np.zeros((1, 300, 2), np.uint8)
