@@ -28,7 +28,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 
-BATCH = 64
+BATCH = 256
 STEPS = 30
 MODEL_TYPE = "Cnn_9layers_Gru_FrameAtt"
 
@@ -47,10 +47,14 @@ def bench_tpu() -> float:
     from sound_event_detection_dcase2017_task4_tpu.parallel import (
         batch_sharding, make_mesh, replicated_sharding)
 
+    import jax.numpy as jnp
+
     cfg = DEFAULT
     use_pallas = jax.default_backend() == "tpu"
-    model = get_model(MODEL_TYPE)
-    frontend = make_logmel_fn(cfg, use_pallas=use_pallas)
+    # production-tuned config: bf16 compute (f32 params), conv-block remat
+    # (fits batch 256 in 16 GB HBM), single-pass-bf16 frontend
+    model = get_model(MODEL_TYPE, dtype=jnp.bfloat16, remat=True)
+    frontend = make_logmel_fn(cfg, use_pallas=use_pallas, precision="fast")
     state, tx = train.create_train_state(model, cfg)
     mean = np.full(cfg.mel_bins, -30.0, np.float32)
     std = np.full(cfg.mel_bins, 15.0, np.float32)
@@ -66,19 +70,23 @@ def bench_tpu() -> float:
     yb = jax.device_put(target, batch_sharding(mesh))
 
     t0 = time.perf_counter()
-    state, _ = step(state, xb, yb)
-    jax.block_until_ready(state.params)
+    state, m = step(state, xb, yb)
+    _ = float(jax.device_get(m["loss"]))
     log(f"tpu: compile+first step {time.perf_counter() - t0:.1f}s "
         f"(devices={mesh.size}, pallas={use_pallas})")
 
+    # Timing note: on this hosting setup block_until_ready() can return
+    # before remote execution finishes — force completion by reading the
+    # final loss scalar; state donation chains every step, so the last
+    # loss transitively depends on all N steps.
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, xb, yb)
-    jax.block_until_ready(state.params)
+    loss = float(jax.device_get(metrics["loss"]))
     dt = (time.perf_counter() - t0) / STEPS
     cps = BATCH / dt
     log(f"tpu: {cps:.0f} clips/s ({dt * 1e3:.1f} ms/step, batch {BATCH}, "
-        f"10 s clips, loss={float(jax.device_get(metrics['loss'])):.4f})")
+        f"10 s clips, loss={loss:.4f})")
     return cps
 
 
@@ -170,7 +178,7 @@ def main():
     cpu_cps = bench_cpu_reference()
     tpu_cps = bench_tpu()
     print(json.dumps({
-        "metric": "logmel+CRNN train throughput (10s clips, batch 64)",
+        "metric": f"logmel+CRNN train throughput (10s clips, batch {BATCH})",
         "value": round(tpu_cps, 1),
         "unit": "clips/sec",
         "vs_baseline": round(tpu_cps / cpu_cps, 2),
