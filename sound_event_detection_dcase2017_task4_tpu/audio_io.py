@@ -64,7 +64,7 @@ def resample(x: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 def save_wav(path: str, x: np.ndarray, sr: int) -> None:
     """Write mono float32 [-1, 1] as 16-bit PCM WAV (for synthetic corpora)."""
-    pcm = np.clip(np.asarray(x) * 32767.0, -32768, 32767).astype("<i2")
+    pcm = np.clip(np.round(np.asarray(x) * 32767.0), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

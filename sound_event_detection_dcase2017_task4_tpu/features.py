@@ -71,7 +71,8 @@ def read_weak_metadata(path: str) -> tuple[List[str], np.ndarray]:
 
 def calculate_feature_for_all_audio_files(args) -> None:
     """Pack one split: decode WAVs → batched device log-mel → HDF5."""
-    cfg = DEFAULT
+    cfg = (DEFAULT if args.clip_seconds is None else Config(
+        clip_samples=int(DEFAULT.sample_rate * args.clip_seconds)))
     workspace, data_type = args.workspace, args.data_type
     meta_path = os.path.join(args.dataset_dir, "metadata",
                              f"{data_type}_set.csv")
@@ -166,6 +167,7 @@ def main(argv=None) -> None:
     pa.add_argument("--data_type", required=True,
                     choices=["training", "testing", "evaluation"])
     pa.add_argument("--batch_size", type=int, default=32)
+    pa.add_argument("--clip_seconds", type=float, default=None)
     pa.add_argument("--use_pallas", action="store_true")
     pa.add_argument("--no_waveform", action="store_true")
     pa.set_defaults(func=calculate_feature_for_all_audio_files)

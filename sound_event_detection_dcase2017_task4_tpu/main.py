@@ -107,7 +107,9 @@ def _build(args, for_train: bool):
     mixup_alpha = 1.0 if args.augmentation == "mixup" else 0.0
     step = (train_lib.make_train_step(
         model, tx, loss_type=args.loss_type, frontend=frontend,
-        scalar=dev_scalar, mixup_alpha=mixup_alpha) if for_train else None)
+        scalar=dev_scalar, mixup_alpha=mixup_alpha,
+        check_numerics=getattr(args, "check_numerics", False))
+        if for_train else None)
     eval_step = train_lib.make_eval_step(model, frontend=frontend,
                                          scalar=dev_scalar)
     return dict(gen=gen, model=model, state=state, tx=tx, step=step,
@@ -364,6 +366,9 @@ def _add_common(sp):
                     help="rematerialize conv blocks (large-batch memory)")
     sp.add_argument("--lazy_data", action="store_true",
                     help="stream batches from HDF5 instead of loading to RAM")
+    sp.add_argument("--check_numerics", action="store_true",
+                    help="count non-finite loss/grad values every step and "
+                         "abort when any appear")
     sp.add_argument("--cuda", action="store_true",
                     help="accepted for reference-CLI parity; device selection "
                          "is automatic under JAX")

@@ -100,12 +100,16 @@ def make_train_step(
     scalar: Optional[tuple] = None,
     mixup_alpha: float = 0.0,
     donate_state: bool = True,
+    check_numerics: bool = False,
 ):
     """Build the jitted train step ``(state, batch_x, batch_y) → (state, metrics)``.
 
     ``frontend`` (e.g. the Pallas log-mel) makes ``batch_x`` a waveform
     batch; ``scalar=(mean, std)`` applies on-device normalization;
-    ``mixup_alpha > 0`` enables device-side mixup.
+    ``mixup_alpha > 0`` enables device-side mixup. ``check_numerics`` adds a
+    non-finite count over loss+grads to the metrics (the SURVEY.md §5
+    sanitizer role — JAX purity means there is no racing to detect; NaN/Inf
+    surveillance is the useful runtime check), costing one reduction.
     """
     loss_fn = get_loss_func(loss_type)
     scalar = (None if scalar is None else
@@ -136,6 +140,12 @@ def make_train_step(
             "loss": loss,
             "grad_norm": optax.global_norm(grads),
         }
+        if check_numerics:
+            bad = sum(
+                jnp.sum(~jnp.isfinite(g)) for g in
+                jax.tree_util.tree_leaves(grads)
+            ) + jnp.sum(~jnp.isfinite(loss))
+            metrics["nonfinite_count"] = bad
         return new_state, metrics
 
     donate = (0,) if donate_state else ()
