@@ -25,7 +25,7 @@ from typing import Iterable, Sequence
 import h5py
 import numpy as np
 
-from ..config import Config, DEFAULT, classes_num, lb_to_idx
+from ..config import Config, DEFAULT, classes_num
 
 __all__ = [
     "pack_waveforms_to_hdf5", "calculate_scalar", "load_scalar", "scale",

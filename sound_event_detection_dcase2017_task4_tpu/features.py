@@ -29,10 +29,9 @@ frontend on device instead of a 51k-file librosa CPU loop (HOT LOOP #1).
 from __future__ import annotations
 
 import argparse
-import csv
 import os
 import time
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

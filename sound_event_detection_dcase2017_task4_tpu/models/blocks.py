@@ -16,7 +16,7 @@ Design notes vs the reference:
 
 from __future__ import annotations
 
-from typing import Callable
+
 
 import jax.numpy as jnp
 from flax import linen as nn

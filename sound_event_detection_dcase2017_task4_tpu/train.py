@@ -21,7 +21,7 @@ TPU-native design:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Callable, Optional
 
 import jax
