@@ -40,6 +40,9 @@ def log(*a):
 def bench_tpu() -> float:
     import jax
 
+    from sound_event_detection_dcase2017_task4_tpu.runtime import enable_compile_cache
+    enable_compile_cache()
+
     from sound_event_detection_dcase2017_task4_tpu import train
     from sound_event_detection_dcase2017_task4_tpu.config import DEFAULT
     from sound_event_detection_dcase2017_task4_tpu.models import get_model

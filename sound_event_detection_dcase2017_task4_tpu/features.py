@@ -188,6 +188,8 @@ def main(argv=None) -> None:
     py.set_defaults(func=pack_synthetic)
 
     args = p.parse_args(argv)
+    from .runtime import enable_compile_cache
+    enable_compile_cache()
     args.func(args)
 
 

@@ -412,6 +412,8 @@ def main(argv=None) -> None:
     ps.set_defaults(func=do_optimize_sed_thresholds)
 
     args = p.parse_args(argv)
+    from .runtime import enable_compile_cache
+    enable_compile_cache()
     args.func(args)
 
 

@@ -47,14 +47,16 @@ class BiGRU(nn.Module):
 
     hidden: int = 256
     dtype: jnp.dtype = jnp.float32
+    unroll: int = 8   # scan unroll factor — lets XLA fuse across steps
+                      # (SURVEY.md §7: "unrolling 4–8 steps helps XLA")
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         fwd = nn.RNN(nn.GRUCell(self.hidden, dtype=self.dtype,
-                                kernel_init=_glorot))
+                                kernel_init=_glorot), unroll=self.unroll)
         bwd = nn.RNN(nn.GRUCell(self.hidden, dtype=self.dtype,
                                 kernel_init=_glorot), reverse=True,
-                     keep_order=True)
+                     keep_order=True, unroll=self.unroll)
         return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
 
 
