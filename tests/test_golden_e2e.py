@@ -1,0 +1,61 @@
+"""Fixed-seed end-to-end regression against stored goldens (SURVEY.md §4
+"Parity": clip-level probabilities and event lists must stay stable).
+
+Regenerate goldens (after an intentional behavior change) with the script
+embedded in the repo history (commit introducing tests/goldens/).
+"""
+
+import os
+
+import numpy as np
+
+from sound_event_detection_dcase2017_task4_tpu import sed, train
+from sound_event_detection_dcase2017_task4_tpu.config import Config
+from sound_event_detection_dcase2017_task4_tpu.data import make_synthetic_dataset
+from sound_event_detection_dcase2017_task4_tpu.models import SedCnn
+from sound_event_detection_dcase2017_task4_tpu.ops.stft import make_logmel_fn
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _run_pipeline():
+    cfg = Config(clip_samples=32000)
+    clips = make_synthetic_dataset(8, cfg, seed=123)
+    waves = np.stack([c.waveform for c in clips])
+    targets = np.stack([c.weak_target for c in clips])
+
+    model = SedCnn(classes_num=17, channels=(8, 16), head="att", seq="gru",
+                   gru_hidden=16)
+    frontend = make_logmel_fn(cfg)
+    state, tx = train.create_train_state(
+        model, cfg, example_frames=cfg.frames_num, seed=42)
+    step = train.make_train_step(model, tx, frontend=frontend,
+                                 mixup_alpha=1.0, donate_state=False)
+    for _ in range(5):
+        state, m = step(state, waves, targets)
+    eval_step = train.make_eval_step(model, frontend=frontend)
+    out = eval_step(state, waves)
+    clip = np.asarray(out["clipwise_output"])
+    frame = np.asarray(out["framewise_output"])
+    events = sed.frame_prediction_to_event_prediction(
+        frame, {"sed_high_threshold": 0.45, "sed_low_threshold": 0.25,
+                "n_smooth": 8, "n_salt": 8})
+    return clip, frame, events, float(m["loss"])
+
+
+def test_e2e_matches_goldens():
+    golden = np.load(os.path.join(GOLDEN_DIR, "e2e_fixed_seed.npz"))
+    clip, frame, events, loss = _run_pipeline()
+
+    np.testing.assert_allclose(loss, float(golden["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(clip, golden["clipwise"], atol=1e-4)
+    np.testing.assert_allclose(frame[:, ::100, :], golden["framewise_sample"],
+                               atol=1e-4)
+
+    lines = []
+    for i, evs in enumerate(events):
+        for onset, offset, label in evs:
+            lines.append(f"{i}\t{onset:.2f}\t{offset:.2f}\t{label}")
+    with open(os.path.join(GOLDEN_DIR, "e2e_fixed_seed_events.txt")) as f:
+        golden_lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    assert lines == golden_lines
