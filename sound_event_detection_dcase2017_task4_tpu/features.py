@@ -83,11 +83,25 @@ def calculate_feature_for_all_audio_files(args) -> None:
     names, targets = read_weak_metadata(meta_path)
     logger.info("%s: %d clips", data_type, len(names))
 
+    from . import native
+
+    use_native = native.available() and not args.no_native
+    logger.info("audio ingest: %s", "C++ threaded" if use_native else "python")
+
     def waveforms():
-        for name in names:
-            wav, _ = load_wav(os.path.join(audio_dir, name),
-                              target_sr=cfg.sample_rate)
-            yield wav
+        if use_native:
+            # C++ thread-pool decode+resample, one chunk ahead of the device
+            chunk = max(args.batch_size, 64)
+            for i in range(0, len(names), chunk):
+                block = native.load_wav_batch(
+                    [os.path.join(audio_dir, n) for n in names[i:i + chunk]],
+                    cfg.sample_rate, cfg.clip_samples)
+                yield from block
+        else:
+            for name in names:
+                wav, _ = load_wav(os.path.join(audio_dir, name),
+                                  target_sr=cfg.sample_rate)
+                yield wav
 
     t0 = time.time()
     pack_waveforms_to_hdf5(
@@ -169,6 +183,8 @@ def main(argv=None) -> None:
     pa.add_argument("--clip_seconds", type=float, default=None)
     pa.add_argument("--use_pallas", action="store_true")
     pa.add_argument("--no_waveform", action="store_true")
+    pa.add_argument("--no_native", action="store_true",
+                    help="force the pure-python audio loader")
     pa.set_defaults(func=calculate_feature_for_all_audio_files)
 
     ps = sub.add_parser("calculate_scalar")
