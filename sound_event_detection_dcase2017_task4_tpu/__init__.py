@@ -12,3 +12,26 @@ Import convention::
 from . import config
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy top-level API so `import ..._tpu as sedx` stays light (jax/flax
+    # are only pulled in when the compute surface is touched).
+    import importlib
+
+    lazy = {
+        "get_model": ("models", "get_model"),
+        "MODEL_REGISTRY": ("models", "MODEL_REGISTRY"),
+        "Config": ("config", "Config"),
+        "Predictor": ("serving", "Predictor"),
+        "make_logmel_fn": ("ops.stft", "make_logmel_fn"),
+    }
+    module_level = {"train", "sed", "scoring", "evaluate", "autoth", "data",
+                    "models", "parallel", "checkpoints", "losses", "serving",
+                    "audio_io", "native"}
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    if name in module_level:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
