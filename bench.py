@@ -28,7 +28,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 CPU_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 
-BATCH = 256
+BATCH = 128
 STEPS = 30
 MODEL_TYPE = "Cnn_9layers_Gru_FrameAtt"
 
@@ -54,9 +54,11 @@ def bench_tpu() -> float:
 
     cfg = DEFAULT
     use_pallas = jax.default_backend() == "tpu"
-    # production-tuned config: bf16 compute (f32 params), conv-block remat
-    # (fits batch 256 in 16 GB HBM), single-pass-bf16 frontend
-    model = get_model(MODEL_TYPE, dtype=jnp.bfloat16, remat=True)
+    # production-tuned config: bf16 compute (f32 params), batch 128 without
+    # remat (measured fastest on 16 GB v5e: 1303 clips/s vs 1091 at
+    # 256+remat — remat's recompute outweighs the batch-size gain here),
+    # single-pass-bf16 frontend
+    model = get_model(MODEL_TYPE, dtype=jnp.bfloat16, remat=False)
     frontend = make_logmel_fn(cfg, use_pallas=use_pallas, precision="fast")
     state, tx = train.create_train_state(model, cfg)
     mean = np.full(cfg.mel_bins, -30.0, np.float32)
