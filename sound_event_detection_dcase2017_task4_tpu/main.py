@@ -43,12 +43,15 @@ from .utils import StatisticsContainer, create_folder, create_logging
 
 
 def _run_config(args) -> str:
-    return os.path.join(
+    segments = [
         f"model_type={args.model_type}",
         f"loss_type={args.loss_type}",
         f"augmentation={args.augmentation}",
         f"batch_size={args.batch_size}",
-    )
+    ]
+    if getattr(args, "holdout_fold", None) is not None:
+        segments.insert(1, f"holdout_fold={args.holdout_fold}")
+    return os.path.join(*segments)
 
 
 def _paths(args) -> dict:
@@ -145,7 +148,7 @@ def do_train(args) -> None:
     test_gt = _strong_labels(args, "testing")
 
     it = int(jax.device_get(state.step))
-    t_train, t0 = 0.0, time.time()
+    t0 = time.time()
     batches = prefetch_to_device(gen.generate_train(), sharding=bsh)
     for batch_x, batch_y in batches:
         if it % args.eval_interval == 0:
@@ -356,6 +359,9 @@ def _add_common(sp):
     sp.add_argument("--batch_size", type=int, default=32)
     sp.add_argument("--learning_rate", type=float, default=1e-3)
     sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--holdout_fold", default=None,
+                    help="accepted for reference-CLI parity; keys the "
+                         "run-config path when set")
     sp.add_argument("--feature_source", default="logmel",
                     choices=["logmel", "waveform"])
     sp.add_argument("--no_pallas", action="store_true",
