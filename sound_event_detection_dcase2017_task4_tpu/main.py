@@ -181,8 +181,15 @@ def do_train(args) -> None:
                 statistics.append(it, stats, split)
             statistics.dump()
             checkpoints.save_checkpoint(paths["checkpoints"], state, it)
-            logger.info("iter %d train_time %.1f s eval_time %.1f s",
-                        it, train_time, time.time() - t0 - train_time)
+            eval_time = time.time() - t0 - train_time
+            if it > 0 and train_time > 0:
+                cps = args.eval_interval * args.batch_size / train_time
+                logger.info(
+                    "iter %d train_time %.1f s eval_time %.1f s "
+                    "(%.0f clips/s)", it, train_time, eval_time, cps)
+            else:
+                logger.info("iter %d train_time %.1f s eval_time %.1f s",
+                            it, train_time, eval_time)
             t0 = time.time()
 
         if it >= args.stop_iteration:
