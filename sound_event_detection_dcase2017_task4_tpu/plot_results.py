@@ -25,8 +25,8 @@ from typing import Dict, List
 def _load_runs(workspace: str, model_types: List[str] | None) -> Dict[str, list]:
     runs: Dict[str, list] = {}
     pattern = os.path.join(workspace, "statistics", "main", "model_type=*",
-                           "*", "*", "*", "statistics.pickle")
-    for path in sorted(glob.glob(pattern)):
+                           "**", "statistics.pickle")
+    for path in sorted(glob.glob(pattern, recursive=True)):
         mt = [seg.split("=", 1)[1] for seg in path.split(os.sep)
               if seg.startswith("model_type=")][0]
         if model_types and mt not in model_types:

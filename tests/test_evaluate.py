@@ -129,3 +129,29 @@ def test_plot_results_text_fallback(tmp_path, capsys, monkeypatch):
     # either a PNG was rendered (matplotlib available) or the text fallback
     if not os.path.isfile(out_png):
         assert "TestNet" in capsys.readouterr().out
+
+
+class TestLosses:
+    def test_clip_bce_matches_hand_computed(self):
+        import jax.numpy as jnp
+
+        from sound_event_detection_dcase2017_task4_tpu.losses import (
+            clip_bce, frame_bce, get_loss_func)
+
+        probs = jnp.asarray([[0.9, 0.1]])
+        target = jnp.asarray([[1.0, 0.0]])
+        expected = -(np.log(0.9) + np.log(0.9)) / 2
+        got = float(clip_bce({"clipwise_output": probs}, target))
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+        fw = jnp.asarray([[[0.5, 0.5]]])
+        ft = jnp.asarray([[[1.0, 0.0]]])
+        np.testing.assert_allclose(
+            float(frame_bce({"framewise_output": fw}, ft)),
+            -np.log(0.5), rtol=1e-5)
+
+        assert get_loss_func("clip_bce") is clip_bce
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            get_loss_func("nope")
