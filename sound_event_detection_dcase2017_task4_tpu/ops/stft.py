@@ -100,6 +100,14 @@ def make_logmel_fn(cfg: Config = DEFAULT, use_pallas: bool = False,
     keeps "highest" (the librosa bit-compat contract).
     """
     if use_pallas:
+        if jax.default_backend() != "tpu":
+            # Mosaic kernels need a real TPU; CLIs pass --use_pallas
+            # unconditionally, so degrade gracefully off-TPU.
+            import warnings
+
+            warnings.warn("use_pallas requested on non-TPU backend "
+                          f"({jax.default_backend()}); using the XLA path")
+            return functools.partial(logmel, cfg=cfg)
         from .pallas_logmel import logmel_pallas
 
         return functools.partial(logmel_pallas, cfg=cfg, precision=precision)
