@@ -45,8 +45,37 @@ __all__ = ["read_weak_metadata", "calculate_feature_for_all_audio_files",
            "pack_synthetic", "main"]
 
 
+def _parse_labels(labelstr: str) -> np.ndarray:
+    """Multi-hot vector from a label list string.
+
+    Separator is ``;`` when present, else ``,``. Comma-separated lists are
+    ambiguous because two DCASE class names contain commas ("Air horn,
+    truck horn", "Fire engine, fire truck (siren)") — fragments are
+    greedily re-merged against the known label set so both quoting styles
+    of the official metadata parse correctly.
+    """
+    tgt = np.zeros(classes_num, np.float32)
+    labelstr = labelstr.strip().strip('"')
+    sep = ";" if ";" in labelstr else ","
+    frags = [p.strip() for p in labelstr.split(sep)]
+    i = 0
+    while i < len(frags):
+        matched = False
+        # longest match first: a label may span several comma fragments
+        for j in range(len(frags), i, -1):
+            cand = ", ".join(frags[i:j])
+            if cand in lb_to_idx:
+                tgt[lb_to_idx[cand]] = 1.0
+                i = j
+                matched = True
+                break
+        if not matched:
+            i += 1                       # unknown fragment: skip
+    return tgt
+
+
 def read_weak_metadata(path: str) -> tuple[List[str], np.ndarray]:
-    """Parse weak-label metadata: ``filename<TAB or ,>labels(,|;-sep)``."""
+    """Parse weak-label metadata: ``filename<TAB or ,>labels(;|,-sep)``."""
     names: List[str] = []
     targets: List[np.ndarray] = []
     with open(path) as f:
@@ -58,13 +87,8 @@ def read_weak_metadata(path: str) -> tuple[List[str], np.ndarray]:
             if len(parts) == 1:
                 parts = line.split(",", 1)
             fname, labelstr = parts[0], parts[-1]
-            tgt = np.zeros(classes_num, np.float32)
-            for lb in labelstr.replace(";", ",").split(","):
-                lb = lb.strip().strip('"')
-                if lb in lb_to_idx:
-                    tgt[lb_to_idx[lb]] = 1.0
             names.append(fname)
-            targets.append(tgt)
+            targets.append(_parse_labels(labelstr))
     return names, np.stack(targets) if targets else np.zeros((0, classes_num))
 
 
@@ -142,7 +166,8 @@ def pack_synthetic(args) -> None:
         create_folder(meta_dir)
         with open(os.path.join(meta_dir, f"{data_type}_set.csv"), "w") as f:
             for c in clips:
-                active = ",".join(sorted({e[2] for e in c.events}))
+                # ';' separator: two class names contain commas
+                active = ";".join(sorted({e[2] for e in c.events}))
                 f.write(f"{c.audio_name}\t{active}\n")
         with open(os.path.join(
                 meta_dir,

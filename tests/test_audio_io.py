@@ -69,3 +69,49 @@ def test_features_cli_from_wav_files(tmp_path):
     assert r2.feature.shape == r1.feature.shape
     # same features modulo 16-bit WAV quantization of the waveform
     assert np.median(np.abs(r1.feature - r2.feature)) < 0.05
+
+
+class TestWeakMetadataParsing:
+    """Labels containing commas must survive both separator styles."""
+
+    def test_comma_containing_labels(self, tmp_path):
+        from sound_event_detection_dcase2017_task4_tpu.config import lb_to_idx
+        from sound_event_detection_dcase2017_task4_tpu.features import (
+            read_weak_metadata)
+
+        meta = tmp_path / "m.csv"
+        meta.write_text(
+            "a.wav\tAir horn, truck horn\n"
+            "b.wav\tCar,Air horn, truck horn\n"
+            "c.wav\tFire engine, fire truck (siren);Train\n"
+            'd.wav\t"Train horn,Car"\n'
+            "e.wav\tBogus label,Car\n")
+        names, targets = read_weak_metadata(str(meta))
+        assert names == ["a.wav", "b.wav", "c.wav", "d.wav", "e.wav"]
+        assert targets[0, lb_to_idx["Air horn, truck horn"]] == 1
+        assert targets[0].sum() == 1
+        assert targets[1, lb_to_idx["Car"]] == 1
+        assert targets[1, lb_to_idx["Air horn, truck horn"]] == 1
+        assert targets[1].sum() == 2
+        assert targets[2, lb_to_idx["Fire engine, fire truck (siren)"]] == 1
+        assert targets[2, lb_to_idx["Train"]] == 1
+        assert targets[3, lb_to_idx["Train horn"]] == 1
+        assert targets[3, lb_to_idx["Car"]] == 1
+        assert targets[4].sum() == 1          # bogus fragment skipped
+
+    def test_synth_metadata_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from sound_event_detection_dcase2017_task4_tpu import features
+        from sound_event_detection_dcase2017_task4_tpu.data import read_split
+
+        ws = str(tmp_path / "ws")
+        features.main([
+            "pack_synthetic", f"--workspace={ws}", "--num_train=30",
+            "--num_test=2", "--num_eval=2", "--clip_seconds=0.5",
+            "--metadata_only"])
+        names, targets = features.read_weak_metadata(
+            f"{ws}/synth_dataset/metadata/training_set.csv")
+        packed = read_split(f"{ws}/features/training.h5")
+        assert names == packed.audio_names
+        np.testing.assert_array_equal(targets, packed.target)
