@@ -44,13 +44,11 @@ done
 
 ############ 3. Thresholds + final metrics ############
 for MODEL_TYPE in "${MODEL_TYPES[@]}"; do
-  for CMD in inference; do
-    for SPLIT in testing evaluation; do
-      python -m $PKG.main $CMD --workspace=$WORKSPACE \
-          --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE \
-          --batch_size=$BATCH_SIZE --data_type=$SPLIT \
-          --feature_source=waveform
-    done
+  for SPLIT in testing evaluation; do
+    python -m $PKG.main inference --workspace=$WORKSPACE \
+        --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE \
+        --batch_size=$BATCH_SIZE --data_type=$SPLIT \
+        --feature_source=waveform
   done
   python -m $PKG.main optimize_at_thresholds --workspace=$WORKSPACE \
       --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE --batch_size=$BATCH_SIZE

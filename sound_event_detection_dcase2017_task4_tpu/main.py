@@ -240,7 +240,8 @@ def do_inference(args) -> None:
     else:  # evaluation
         reader = read_split(
             os.path.join(args.workspace, "features", "evaluation.h5"),
-            load_waveform=args.feature_source == "waveform")
+            load_waveform=args.feature_source == "waveform",
+            in_memory=not getattr(args, "lazy_data", False))
         ctx["gen"].validate = reader
         gen_split = "validate"
 
