@@ -47,3 +47,19 @@ def test_pallas_rejects_top_db(wave):
     cfg = config.Config(clip_samples=32000, log_top_db=80.0)
     with pytest.raises(NotImplementedError):
         logmel_pallas(wave, cfg, interpret=True)
+
+
+@pytest.mark.parametrize("win,hop,mel", [(640, 200, 32), (512, 160, 40),
+                                         (2048, 640, 128)])
+def test_pallas_generalizes_across_dsp_configs(win, hop, mel):
+    """The kernel plan (n_seg, lane padding) must adapt to any window/hop."""
+    cfg = config.Config(clip_samples=16000, window_size=win, hop_size=hop,
+                        mel_bins=mel, fmax=15000)
+    rng = np.random.RandomState(0)
+    x = (rng.randn(2, 16000) * 0.2).astype(np.float32)
+    ref = np.asarray(stft.logmel(x, cfg))
+    out = np.asarray(logmel_pallas(x, cfg, interpret=True))
+    assert out.shape == ref.shape == (2, 1 + 16000 // hop, mel)
+    np.testing.assert_allclose(out, ref, atol=1e-1, rtol=0)
+    np.testing.assert_allclose(10.0 ** (out / 10.0), 10.0 ** (ref / 10.0),
+                               rtol=2e-3, atol=1e-10)

@@ -112,3 +112,77 @@ class TestEvents:
             frames_per_second=100, labels=["x", "y", "z"])
         assert evts[0] == [(1.2, 2.6, "y")]
         assert evts[1] == [(0.1, 0.9, "z")]
+
+
+class TestFuzzAgainstBruteForce:
+    """Randomized decode vs an independent brute-force implementation."""
+
+    @staticmethod
+    def _brute(probs_1d, high, low, n_smooth, n_salt):
+        t = len(probs_1d)
+        act = [p >= low for p in probs_1d]
+        seed = [p >= high for p in probs_1d]
+        # hysteresis: keep active runs containing a seed
+        keep = [False] * t
+        i = 0
+        while i < t:
+            if act[i]:
+                j = i
+                while j < t and act[j]:
+                    j += 1
+                if any(seed[i:j]):
+                    for k in range(i, j):
+                        keep[k] = True
+                i = j
+            else:
+                i += 1
+        # fill enclosed gaps < n_smooth
+        runs = []
+        i = 0
+        while i < t:
+            if keep[i]:
+                j = i
+                while j < t and keep[j]:
+                    j += 1
+                runs.append((i, j))
+                i = j
+            else:
+                i += 1
+        for (s1, e1), (s2, e2) in zip(runs, runs[1:]):
+            if s2 - e1 < n_smooth:
+                for k in range(e1, s2):
+                    keep[k] = True
+        # remove runs < n_salt
+        out = keep[:]
+        i = 0
+        while i < t:
+            if out[i]:
+                j = i
+                while j < t and out[j]:
+                    j += 1
+                if j - i < n_salt:
+                    for k in range(i, j):
+                        out[k] = False
+                i = j
+            else:
+                i += 1
+        return np.asarray(out, np.uint8)
+
+    def test_fuzz(self):
+        rng = np.random.RandomState(42)
+        for trial in range(50):
+            t = rng.randint(5, 60)
+            probs = rng.rand(1, t, 1).astype(np.float32)
+            high = float(rng.uniform(0.4, 0.9))
+            low = float(rng.uniform(0.1, high))
+            n_smooth = int(rng.randint(1, 8))
+            n_salt = int(rng.randint(1, 8))
+            got = sed.binarize(probs, high, low, n_smooth, n_salt)[0, :, 0]
+            exp = self._brute(probs[0, :, 0], high, low, n_smooth, n_salt)
+            np.testing.assert_array_equal(
+                got, exp,
+                err_msg=f"trial {trial}: h={high:.2f} l={low:.2f} "
+                        f"ns={n_smooth} na={n_salt} probs={probs[0,:,0]}")
+            got_j = np.asarray(
+                sed.binarize_jax(probs, high, low, n_smooth, n_salt))[0, :, 0]
+            np.testing.assert_array_equal(got_j, exp)
