@@ -361,7 +361,9 @@ def _add_common(sp):
     sp.add_argument("--workspace", required=True)
     sp.add_argument("--dataset_dir", default=None)
     sp.add_argument("--model_type", default="Cnn_9layers_Gru_FrameAtt")
-    sp.add_argument("--loss_type", default="clip_bce")
+    sp.add_argument("--loss_type", default="clip_bce", choices=["clip_bce"],
+                    help="the weak-label training loss (frame_bce exists in "
+                         "losses.py for strong-label research use)")
     sp.add_argument("--augmentation", default="none",
                     choices=["none", "mixup"])
     sp.add_argument("--batch_size", type=int, default=32)
