@@ -88,6 +88,14 @@ def _build(args, for_train: bool):
                               in_memory=in_memory)
                    if os.path.isfile(test_path) else None)
 
+    if getattr(args, "mini_data", 0):
+        n = args.mini_data
+        train_reader.audio_names = train_reader.audio_names[:n]
+        train_reader.target = train_reader.target[:n]
+        train_reader.feature = train_reader.feature[:n]
+        if train_reader.waveform is not None:
+            train_reader.waveform = train_reader.waveform[:n]
+
     scalar = load_scalar(os.path.join(ws, "scalars", "training.h5"))
     gen = DataGenerator(train_reader, test_reader,
                         batch_size=args.batch_size, scalar=scalar,
@@ -107,10 +115,11 @@ def _build(args, for_train: bool):
 
     state, tx = train_lib.create_train_state(
         model, DEFAULT, learning_rate=args.learning_rate, seed=args.seed)
-    mixup_alpha = 1.0 if args.augmentation == "mixup" else 0.0
+    mixup_alpha = 1.0 if "mixup" in args.augmentation else 0.0
     step = (train_lib.make_train_step(
         model, tx, loss_type=args.loss_type, frontend=frontend,
         scalar=dev_scalar, mixup_alpha=mixup_alpha,
+        use_spec_augment="specaugment" in args.augmentation,
         check_numerics=getattr(args, "check_numerics", False))
         if for_train else None)
     eval_step = train_lib.make_eval_step(model, frontend=frontend,
@@ -287,6 +296,12 @@ def do_calculate_metrics(args) -> None:
     print(f"[{args.data_type}] AT: mAP={at['mAP']:.4f} "
           f"macroF1={at['macro_f1']:.4f} "
           f"P={at['macro_precision']:.4f} R={at['macro_recall']:.4f}")
+    if args.verbose:
+        print(f"{'class':<34} {'AP':>7} {'F1':>7} {'P':>7} {'R':>7}")
+        for k, lb in enumerate(labels):
+            print(f"{lb:<34} {at['average_precision'][k]:>7.4f} "
+                  f"{at['f1'][k]:>7.4f} {at['precision'][k]:>7.4f} "
+                  f"{at['recall'][k]:>7.4f}")
 
     gt = _strong_labels(args, args.data_type)
     events = sed.frame_prediction_to_event_prediction(
@@ -306,6 +321,12 @@ def do_calculate_metrics(args) -> None:
               f"(S={ov['error_rate']['substitution_rate']:.3f} "
               f"D={ov['error_rate']['deletion_rate']:.3f} "
               f"I={ov['error_rate']['insertion_rate']:.3f})")
+        if args.verbose:
+            print(f"{'class':<34} {'segF1':>7} {'ER':>7} {'Nref':>6}")
+            for lb in labels:
+                cw = m["class_wise"][lb]
+                print(f"{lb:<34} {cw['f_measure']:>7.4f} "
+                      f"{cw['error_rate']:>7.4f} {cw['nref']:>6.0f}")
 
 
 def do_optimize_at_thresholds(args) -> None:
@@ -365,10 +386,14 @@ def _add_common(sp):
                     help="the weak-label training loss (frame_bce exists in "
                          "losses.py for strong-label research use)")
     sp.add_argument("--augmentation", default="none",
-                    choices=["none", "mixup"])
+                    choices=["none", "mixup", "specaugment",
+                             "mixup_specaugment"])
     sp.add_argument("--batch_size", type=int, default=32)
     sp.add_argument("--learning_rate", type=float, default=1e-3)
     sp.add_argument("--seed", type=int, default=1234)
+    sp.add_argument("--mini_data", type=int, default=0,
+                    help="train on only the first N clips (quick runs; "
+                         "reference parity knob)")
     sp.add_argument("--holdout_fold", default=None,
                     help="accepted for reference-CLI parity; keys the "
                          "run-config path when set")
@@ -417,6 +442,8 @@ def main(argv=None) -> None:
     pm.add_argument("--data_type", default="testing",
                     choices=["training", "testing", "evaluation"])
     pm.add_argument("--use_optimized_thresholds", action="store_true")
+    pm.add_argument("--verbose", action="store_true",
+                    help="print class-wise AT/SED tables")
     pm.set_defaults(func=do_calculate_metrics)
 
     pa = sub.add_parser("optimize_at_thresholds")

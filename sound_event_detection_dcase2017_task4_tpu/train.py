@@ -35,7 +35,7 @@ from .config import Config, DEFAULT
 from .losses import get_loss_func
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "mixup"]
+           "make_eval_step", "mixup", "spec_augment"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -83,6 +83,34 @@ def mixup(rng: jax.Array, x: jnp.ndarray, y: jnp.ndarray, alpha: float):
     return lam_x * x + (1 - lam_x) * x2, lam_y * y + (1 - lam_y) * y2
 
 
+def spec_augment(rng: jax.Array, x: jnp.ndarray,
+                 time_masks: int = 2, time_width: int = 64,
+                 freq_masks: int = 2, freq_width: int = 8) -> jnp.ndarray:
+    """Device-side SpecAugment (Park et al. 2019): random time/freq masks on
+    the log-mel batch ``[B, T, F]``. The reference only has mixup
+    (SURVEY.md §2 "Augmentation"); this is a TPU-native extra, selected via
+    ``--augmentation=specaugment`` / ``mixup_specaugment``. Masks are filled
+    with the per-example mean so normalized statistics stay centered."""
+    b, t, f = x.shape
+    fill = jnp.mean(x, axis=(1, 2), keepdims=True)
+    keys = jax.random.split(rng, 2 * (time_masks + freq_masks))
+    k = iter(keys)
+
+    tt = jnp.arange(t)[None, :, None]
+    for _ in range(time_masks):
+        start = jax.random.randint(next(k), (b, 1, 1), 0, max(1, t - time_width))
+        width = jax.random.randint(next(k), (b, 1, 1), 0, time_width + 1)
+        mask = (tt >= start) & (tt < start + width)
+        x = jnp.where(mask, fill, x)
+    ff = jnp.arange(f)[None, None, :]
+    for _ in range(freq_masks):
+        start = jax.random.randint(next(k), (b, 1, 1), 0, max(1, f - freq_width))
+        width = jax.random.randint(next(k), (b, 1, 1), 0, freq_width + 1)
+        mask = (ff >= start) & (ff < start + width)
+        x = jnp.where(mask, fill, x)
+    return x
+
+
 def _frontend_and_norm(batch_x, frontend, scalar):
     if frontend is not None:
         batch_x = frontend(batch_x)                 # waveform → logmel
@@ -99,6 +127,7 @@ def make_train_step(
     frontend: Optional[Callable] = None,
     scalar: Optional[tuple] = None,
     mixup_alpha: float = 0.0,
+    use_spec_augment: bool = False,
     donate_state: bool = True,
     check_numerics: bool = False,
 ):
@@ -116,9 +145,11 @@ def make_train_step(
               (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
 
     def step_fn(state: TrainState, batch_x, batch_y):
-        rng, mix_rng, drop_rng = jax.random.split(state.rng, 3)
+        rng, mix_rng, spec_rng, drop_rng = jax.random.split(state.rng, 4)
         x = _frontend_and_norm(batch_x, frontend, scalar)
         y = batch_y
+        if use_spec_augment:
+            x = spec_augment(spec_rng, x)
         if mixup_alpha > 0.0:
             x, y = mixup(mix_rng, x, y, mixup_alpha)
 

@@ -100,3 +100,31 @@ def test_eval_step_deterministic(tiny_model, batch):
     o2 = eval_step(state, x)
     np.testing.assert_array_equal(np.asarray(o1["clipwise_output"]),
                                   np.asarray(o2["clipwise_output"]))
+
+
+def test_spec_augment_masks_and_preserves_shape():
+    import jax
+
+    x = jnp.ones((2, 100, 64)) * 5.0
+    out = train.spec_augment(jax.random.PRNGKey(0), x,
+                             time_masks=2, time_width=30,
+                             freq_masks=2, freq_width=16)
+    assert out.shape == x.shape
+    # fill value equals the per-example mean (here 5.0) so masking an
+    # all-constant input is a no-op
+    np.testing.assert_allclose(np.asarray(out), 5.0, atol=1e-6)
+    # on varied input, some values must change
+    rng = np.random.RandomState(0)
+    x2 = jnp.asarray(rng.randn(2, 100, 64).astype(np.float32))
+    out2 = train.spec_augment(jax.random.PRNGKey(1), x2)
+    assert (np.asarray(out2) != np.asarray(x2)).any()
+
+
+def test_train_step_with_spec_augment(tiny_model, batch):
+    cfg = Config()
+    state, tx = train.create_train_state(tiny_model, cfg, example_frames=96)
+    step = train.make_train_step(tiny_model, tx, use_spec_augment=True,
+                                 mixup_alpha=1.0, donate_state=False)
+    x, y = batch
+    state, metrics = step(state, x, y)
+    assert np.isfinite(float(metrics["loss"]))
