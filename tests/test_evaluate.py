@@ -155,3 +155,39 @@ class TestLosses:
 
         with _pytest.raises(KeyError):
             get_loss_func("nope")
+
+
+def test_evaluator_full_sed_path():
+    """Evaluator.evaluate end-to-end on a tiny model (AT + SED + events)."""
+    import jax
+
+    from sound_event_detection_dcase2017_task4_tpu import train
+    from sound_event_detection_dcase2017_task4_tpu.config import Config, labels
+    from sound_event_detection_dcase2017_task4_tpu.evaluate import Evaluator
+    from sound_event_detection_dcase2017_task4_tpu.models import SedCnn
+
+    cfg = Config()
+    model = SedCnn(classes_num=17, channels=(8,), head="att")
+    state, _ = train.create_train_state(model, cfg, example_frames=64)
+    eval_step = train.make_eval_step(model)
+    rng = np.random.RandomState(0)
+    x = rng.randn(6, 64, 64).astype(np.float32)
+    y = (rng.rand(6, 17) < 0.2).astype(np.float32)
+
+    def gen():
+        yield x[:3], y[:3]
+        yield x[3:], y[3:]
+
+    names = [f"c{i}.wav" for i in range(6)]
+    gt = {n: [(0.0, 0.3, labels[0])] for n in names}
+    ev = Evaluator(eval_step, labels, frames_per_second=100,
+                   clip_duration=0.64)
+    res = ev.evaluate(state, gen(), audio_names=names,
+                      ground_truth_events=gt,
+                      sed_params={"sed_high_threshold": 0.4,
+                                  "sed_low_threshold": 0.2,
+                                  "n_smooth": 2, "n_salt": 2})
+    assert "at" in res and "sed" in res and "est_events" in res
+    assert 0.0 <= res["at"]["mAP"] <= 1.0
+    assert res["sed"]["overall"]["error_rate"]["error_rate"] >= 0.0
+    assert set(res["est_events"]) == set(names)

@@ -67,3 +67,20 @@ def test_submission_roundtrip(tmp_path):
     back = scoring.read_ground_truth(path)
     assert back["a.wav"] == [(0.5, 2.25, "Car")]
     assert back["b.wav"] == [(0.0, 1.0, "Train")]
+
+
+def test_per_file_durations_dict():
+    ref = {"a.wav": [(0.0, 1.0, "A")], "b.wav": [(0.0, 1.0, "B")]}
+    est = dict(ref)
+    m = scoring.segment_based_metrics(
+        ref, est, file_durations={"a.wav": 3.0, "b.wav": 5.0},
+        time_resolution=1.0, labels=LBL)
+    assert m["overall"]["f_measure"]["f_measure"] == 1.0
+
+
+def test_events_beyond_duration_extend_segments():
+    # est event past the nominal duration must still count as insertions
+    ref = {"f.wav": [(0.0, 1.0, "A")]}
+    est = {"f.wav": [(0.0, 1.0, "A"), (11.0, 12.0, "A")]}
+    m = scoring.segment_based_metrics(ref, est, 10.0, 1.0, LBL)
+    assert m["class_wise"]["A"]["nfp"] == 1.0
