@@ -44,19 +44,24 @@ done
 
 ############ 3. Thresholds + final metrics ############
 for MODEL_TYPE in "${MODEL_TYPES[@]}"; do
+  # NB: --augmentation (and any other run-config knob) must match stage 2,
+  # since it keys the checkpoint/prediction paths.
   for SPLIT in testing evaluation; do
     python -m $PKG.main inference --workspace=$WORKSPACE \
         --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE \
-        --batch_size=$BATCH_SIZE --data_type=$SPLIT \
+        --augmentation=mixup --batch_size=$BATCH_SIZE --data_type=$SPLIT \
         --feature_source=waveform
   done
   python -m $PKG.main optimize_at_thresholds --workspace=$WORKSPACE \
-      --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE --batch_size=$BATCH_SIZE
+      --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE \
+      --augmentation=mixup --batch_size=$BATCH_SIZE
   python -m $PKG.main optimize_sed_thresholds --workspace=$WORKSPACE \
-      --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE --batch_size=$BATCH_SIZE
+      --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE \
+      --augmentation=mixup --batch_size=$BATCH_SIZE
   python -m $PKG.main calculate_metrics --workspace=$WORKSPACE \
       --dataset_dir=$DATASET_DIR --model_type=$MODEL_TYPE \
-      --batch_size=$BATCH_SIZE --data_type=evaluation --use_optimized_thresholds
+      --augmentation=mixup --batch_size=$BATCH_SIZE \
+      --data_type=evaluation --use_optimized_thresholds
 done
 
 ############ 4. Plots ############
