@@ -81,3 +81,19 @@ def test_resume_training(workspace):
         "model_type=Cnn_5layers_AvgPooling", "loss_type=clip_bce",
         "augmentation=none", "batch_size=4")
     assert os.path.isfile(os.path.join(ckpt_dir, "8_iterations.ckpt"))
+
+
+def test_run_config_with_holdout_fold():
+    import argparse
+
+    from sound_event_detection_dcase2017_task4_tpu.main import _run_config
+
+    args = argparse.Namespace(model_type="M", loss_type="clip_bce",
+                              augmentation="mixup", batch_size=32,
+                              holdout_fold=None)
+    assert _run_config(args) == (
+        "model_type=M/loss_type=clip_bce/augmentation=mixup/batch_size=32")
+    args.holdout_fold = 1
+    assert _run_config(args) == (
+        "model_type=M/holdout_fold=1/loss_type=clip_bce/"
+        "augmentation=mixup/batch_size=32")
