@@ -76,16 +76,21 @@ class Evaluator:
     def __init__(self, eval_step, labels: Sequence[str] = _default_labels,
                  frames_per_second: int = 100,
                  sed_params: Optional[dict] = None,
-                 clip_duration: float = 10.0):
+                 clip_duration: float = 10.0,
+                 sharding=None):
         self.eval_step = eval_step
         self.labels = list(labels)
         self.frames_per_second = frames_per_second
         self.sed_params = sed_params or dict(sed.sed_params_dict)
         self.clip_duration = clip_duration
+        # batch NamedSharding → distribute eval batches over the mesh
+        # (ragged batches padded/trimmed in forward_generator)
+        self.sharding = sharding
 
     def forward(self, state, generate_func) -> Dict[str, np.ndarray]:
         from .train import forward_generator
-        return forward_generator(self.eval_step, state, generate_func)
+        return forward_generator(self.eval_step, state, generate_func,
+                                 sharding=self.sharding)
 
     def evaluate(
         self,

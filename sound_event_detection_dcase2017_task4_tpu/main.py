@@ -153,7 +153,8 @@ def do_train(args) -> None:
         logger.info("resumed from %s", ckpt)
 
     statistics = StatisticsContainer(paths["statistics"])
-    evaluator = Evaluator(eval_step, labels, DEFAULT.frames_per_second)
+    evaluator = Evaluator(eval_step, labels, DEFAULT.frames_per_second,
+                          sharding=bsh if mesh.size > 1 else None)
     test_gt = _strong_labels(args, "testing")
 
     it = int(jax.device_get(state.step))

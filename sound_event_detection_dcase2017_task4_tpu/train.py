@@ -200,20 +200,38 @@ def make_eval_step(model, frontend: Optional[Callable] = None,
 
 
 def forward_generator(eval_step, state, generate_func,
-                      return_target: bool = True) -> dict:
+                      return_target: bool = True, sharding=None) -> dict:
     """Accumulate model outputs over a finite generator as numpy arrays.
 
     Mirrors reference ``pytorch/pytorch_utils.py:forward`` — returns a dict
-    with ``clipwise_output``, ``framewise_output`` and (optionally) ``target``.
+    with ``clipwise_output``, ``framewise_output`` and (optionally)
+    ``target``.
+
+    ``sharding`` (a batch :class:`NamedSharding`) distributes each eval
+    batch across the mesh instead of replicating the forward on every chip;
+    ragged final batches are zero-padded up to the mesh size and the
+    padding rows trimmed from the outputs (padding can't change real rows —
+    the models have no cross-example coupling in eval mode).
     """
     acc: dict = {"clipwise_output": [], "framewise_output": []}
     if return_target:
         acc["target"] = []
+    n_dev = sharding.mesh.size if sharding is not None else 1
     for batch in generate_func:
         batch_x, batch_y = batch
+        n = batch_x.shape[0]
+        if sharding is not None:
+            pad = (-n) % n_dev
+            if pad:
+                batch_x = np.concatenate(
+                    [batch_x, np.zeros((pad,) + batch_x.shape[1:],
+                                       batch_x.dtype)])
+            batch_x = jax.device_put(batch_x, sharding)
         out = eval_step(state, batch_x)
-        acc["clipwise_output"].append(np.asarray(out["clipwise_output"]))
-        acc["framewise_output"].append(np.asarray(out["framewise_output"]))
+        acc["clipwise_output"].append(
+            np.asarray(out["clipwise_output"])[:n])
+        acc["framewise_output"].append(
+            np.asarray(out["framewise_output"])[:n])
         if return_target:
             acc["target"].append(np.asarray(batch_y))
     return {k: np.concatenate(v, axis=0) for k, v in acc.items()}

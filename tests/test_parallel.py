@@ -120,3 +120,25 @@ def test_shard_batch_helper(setup):
     xs, ys = shard_batch((np.asarray(x), np.asarray(y)), mesh)
     assert xs.sharding.spec == batch_sharding(mesh).spec
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+
+
+def test_sharded_forward_generator_handles_ragged_batches(setup):
+    """Sharded eval with zero-padded ragged batches == unsharded eval."""
+    model, cfg, x, y = setup
+    state, _ = train.create_train_state(model, cfg, example_frames=64)
+    eval_step = train.make_eval_step(model)
+    xn, yn = np.asarray(x), np.asarray(y)
+
+    def gen():
+        yield xn[:8], yn[:8]
+        yield xn[8:13], yn[8:13]      # ragged: 5 not divisible by 8
+
+    mesh = make_mesh()
+    out_sharded = train.forward_generator(
+        eval_step, state, gen(), sharding=batch_sharding(mesh))
+    out_plain = train.forward_generator(eval_step, state, gen())
+    assert out_sharded["clipwise_output"].shape == (13, 17)
+    np.testing.assert_allclose(out_sharded["clipwise_output"],
+                               out_plain["clipwise_output"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(out_sharded["target"], out_plain["target"])
