@@ -58,11 +58,30 @@ def main(argv=None) -> None:
                    help="'<group>.<key>', e.g. at.mAP, at.macro_f1, "
                         "sed.f_measure, sed.error_rate")
     p.add_argument("--data_type", default="test", choices=["train", "test"])
+    p.add_argument("--table", action="store_true",
+                   help="print a markdown table of final-iteration metrics "
+                        "per model type instead of plotting")
     args = p.parse_args(argv)
 
     runs = _load_runs(args.workspace, args.model_types)
     if not runs:
         raise SystemExit(f"no statistics found under {args.workspace}")
+
+    if args.table:
+        cols = ["at.mAP", "at.macro_f1", "sed.f_measure", "sed.error_rate"]
+        print("| model | iteration | " + " | ".join(cols) + " |")
+        print("|" + "---|" * (len(cols) + 2))
+        for mt, records in sorted(runs.items()):
+            row = [mt]
+            last_it = None
+            vals = []
+            for metric in cols:
+                xs, ys = _extract(records, metric, args.data_type)
+                vals.append(f"{ys[-1]:.4f}" if ys else "—")
+                if xs:
+                    last_it = xs[-1]
+            print(f"| {mt} | {last_it} | " + " | ".join(vals) + " |")
+        return
 
     try:
         import matplotlib
