@@ -128,3 +128,30 @@ def test_train_step_with_spec_augment(tiny_model, batch):
     x, y = batch
     state, metrics = step(state, x, y)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_loads_across_compute_dtype(tmp_path):
+    """bf16/remat are compute-graph choices; params stay f32, so checkpoints
+    must be interchangeable across those flags (verified on TPU; pinned here)."""
+    from sound_event_detection_dcase2017_task4_tpu.models import get_model
+
+    m_f32 = get_model("Cnn_5layers_AvgPooling")
+    state, tx = train.create_train_state(m_f32, Config(), example_frames=32)
+    step = train.make_train_step(m_f32, tx, donate_state=False)
+    x = jnp.zeros((2, 32, 64), jnp.float32)
+    y = jnp.zeros((2, 17), jnp.float32)
+    state, _ = step(state, x, y)
+    path = checkpoints.save_checkpoint(str(tmp_path), state)
+
+    m_bf16 = get_model("Cnn_5layers_AvgPooling", dtype=jnp.bfloat16,
+                       remat=True)
+    template, _ = train.create_train_state(m_bf16, Config(),
+                                           example_frames=32)
+    restored = checkpoints.load_checkpoint(path, template)
+    out = train.make_eval_step(m_bf16)(restored, x)
+    assert np.isfinite(np.asarray(out["clipwise_output"])).all()
+    # param values identical after the round trip
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
