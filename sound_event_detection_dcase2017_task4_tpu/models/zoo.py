@@ -126,8 +126,12 @@ class SedCnn(nn.Module):
         block_cls = {"conv": ConvBlock, "glu": GLUBlock}[self.block]
         if self.remat:
             block_cls = nn.remat(block_cls, static_argnums=(2,))
-        for ch in self.channels:
-            x = block_cls(ch, pool=(2, 2), dtype=self.dtype)(x, train)
+        for i, ch in enumerate(self.channels):
+            # explicit name: nn.remat would otherwise prefix the module path
+            # ("CheckpointConvBlock_i"), making remat / non-remat
+            # checkpoints incompatible.
+            x = block_cls(ch, pool=(2, 2), dtype=self.dtype,
+                          name=f"block{i}")(x, train)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
 
         x = jnp.mean(x, axis=2)                               # freq mean [B,T',C]
