@@ -203,8 +203,8 @@ def events_from_binary(active: np.ndarray,
             starts = np.flatnonzero(d[i, :, k] == 1)
             ends = np.flatnonzero(d[i, :, k] == -1)
             for s, e in zip(starts, ends):
-                events.append((s / frames_per_second, e / frames_per_second,
-                               labels[k]))
+                events.append((float(s / frames_per_second),
+                               float(e / frames_per_second), labels[k]))
         events.sort()
         out.append(events)
     return out
