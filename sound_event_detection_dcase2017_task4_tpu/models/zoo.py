@@ -139,6 +139,15 @@ class SedCnn(nn.Module):
         if self.seq == "gru":
             x = BiGRU(self.gru_hidden, dtype=self.dtype)(x)
         elif self.seq == "transformer":
+            # sinusoidal positional encoding: self-attention is otherwise
+            # permutation-invariant over frames and cannot localize events
+            t, d = x.shape[1], x.shape[2]
+            pos = jnp.arange(t)[:, None].astype(jnp.float32)
+            div = jnp.exp(jnp.arange(0, d, 2) * (-jnp.log(10000.0) / d))
+            pe = jnp.zeros((t, d))
+            pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+            pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: (d + 1) // 2]))
+            x = x + pe[None].astype(x.dtype)
             for _ in range(self.transformer_layers):
                 x = TransformerEncoderLayer(dtype=self.dtype)(x, train)
 
