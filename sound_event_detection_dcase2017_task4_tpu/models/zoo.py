@@ -139,6 +139,9 @@ class SedCnn(nn.Module):
         if self.seq == "gru":
             x = BiGRU(self.gru_hidden, dtype=self.dtype)(x)
         elif self.seq == "transformer":
+            # input LayerNorm: raw post-ReLU conv activations otherwise
+            # dominate the residual stream and saturate the heads at init
+            x = nn.LayerNorm(dtype=self.dtype)(x)
             # sinusoidal positional encoding: self-attention is otherwise
             # permutation-invariant over frames and cannot localize events
             t, d = x.shape[1], x.shape[2]
