@@ -56,7 +56,19 @@ bool parse_wav(const uint8_t* buf, size_t len, WavInfo* info) {
       memcpy(&ch, buf + pos + 10, 2);
       memcpy(&sr, buf + pos + 12, 4);
       memcpy(&bits, buf + pos + 22, 2);
-      if (fmt == 0xFFFE) fmt = 1;  // WAVE_FORMAT_EXTENSIBLE: assume PCM
+      if (fmt == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first two
+        // bytes of the SubFormat GUID at offset 24 of the fmt chunk; a
+        // truncated extensible header is rejected rather than mis-decoded
+        // (a float32 extensible WAV read as int32 PCM yields garbage).
+        if (sz >= 40 && pos + 8 + 26 <= len) {
+          uint16_t sub;
+          memcpy(&sub, buf + pos + 8 + 24, 2);
+          fmt = sub;
+        } else {
+          return false;
+        }
+      }
       info->format = fmt;
       info->channels = ch;
       info->sample_rate = static_cast<int>(sr);

@@ -17,11 +17,12 @@ no stochastic perturbation needed at 17 dimensions).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Dict, Sequence
 
 import numpy as np
 
-__all__ = ["HyperParamsOptimizer", "optimize_thresholds"]
+__all__ = ["HyperParamsOptimizer", "optimize_thresholds",
+           "optimize_sed_params"]
 
 
 class HyperParamsOptimizer:
@@ -77,3 +78,55 @@ def optimize_thresholds(score_fn: Callable[[np.ndarray], float],
     """Convenience wrapper: optimize one threshold per class."""
     opt = HyperParamsOptimizer(score_fn, step=step, max_iter=max_iter)
     return opt.do_optimize(np.full(classes_num, init))
+
+
+def optimize_sed_params(
+    score_fn: Callable[[Dict], float],
+    classes_num: int,
+    smooth_grid: Sequence[int] = (1, 5, 10, 15, 20),
+    salt_grid: Sequence[int] = (1, 5, 10, 15, 20),
+    init_high: float = 0.5,
+    init_low: float = 0.25,
+    step: float = 0.05,
+    max_iter: int = 20,
+) -> tuple[float, Dict]:
+    """Full ``sed_params_dict`` search (reference: the paper's autoth over
+    per-class high/low hysteresis pairs plus the smoothing lengths;
+    SURVEY.md §3.5 — round 1 only searched the high threshold with
+    ``low = high/2`` hard-tied).
+
+    ``score_fn`` maps a full params dict (``sed_high_threshold [C]``,
+    ``sed_low_threshold [C]``, ``n_smooth``, ``n_salt``) to the metric being
+    maximized. Two stages keep the search tractable:
+
+    1. grid over the discrete ``(n_smooth, n_salt)`` pair at the scalar init
+       thresholds (the smoothing lengths interact weakly with thresholds);
+    2. coordinate ascent (:class:`HyperParamsOptimizer`) over the joint
+       ``2C``-dim vector ``[high; low]`` at the winning smoothing lengths,
+       with the hysteresis constraint ``low <= high`` enforced by clamping
+       inside the score wrapper.
+    """
+
+    def params_of(high, low, n_smooth, n_salt) -> Dict:
+        high = np.asarray(high, np.float64)
+        low = np.minimum(np.asarray(low, np.float64), high)
+        return {"sed_high_threshold": high, "sed_low_threshold": low,
+                "n_smooth": int(n_smooth), "n_salt": int(n_salt)}
+
+    h0 = np.full(classes_num, init_high)
+    l0 = np.full(classes_num, init_low)
+    best_score, best_ns, best_na = -np.inf, smooth_grid[0], salt_grid[0]
+    for ns in smooth_grid:
+        for na in salt_grid:
+            s = float(score_fn(params_of(h0, l0, ns, na)))
+            if s > best_score:
+                best_score, best_ns, best_na = s, ns, na
+
+    def vec_score(v: np.ndarray) -> float:
+        return float(score_fn(params_of(v[:classes_num], v[classes_num:],
+                                        best_ns, best_na)))
+
+    opt = HyperParamsOptimizer(vec_score, step=step, max_iter=max_iter)
+    best, v = opt.do_optimize(np.concatenate([h0, l0]))
+    return best, params_of(v[:classes_num], v[classes_num:],
+                           best_ns, best_na)

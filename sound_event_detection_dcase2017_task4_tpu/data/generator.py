@@ -49,6 +49,12 @@ class DataGenerator:
         self.random_state = np.random.RandomState(seed)
         self.mean, self.std = scalar if scalar is not None else (None, None)
         self.feature_source = feature_source
+        # resumable train-stream position (see state_dict/load_state_dict);
+        # the lock keeps snapshots consistent while the prefetch producer
+        # thread advances the stream.
+        self._train_order: Optional[np.ndarray] = None
+        self._train_ptr = 0
+        self._lock = threading.Lock()
 
     def _select(self, reader: SplitReader, idx: np.ndarray):
         if self.feature_source == "waveform":
@@ -62,18 +68,52 @@ class DataGenerator:
         return x.astype(np.float32), reader.target[idx]
 
     def generate_train(self) -> Iterator[tuple]:
-        """Infinite shuffled batches (reference: ``generate_train``)."""
+        """Infinite shuffled batches (reference: ``generate_train``).
+
+        The shuffle order / pointer / RNG stream live on the instance so a
+        resumed run continues the data stream instead of restarting it —
+        checkpoint them via :meth:`state_dict` (SURVEY.md §5 failure-recovery
+        row; the reference restarts its shuffle stream on resume).
+        """
         n = len(self.train)
-        order = np.arange(n)
-        self.random_state.shuffle(order)
-        ptr = 0
+        if self._train_order is None or len(self._train_order) != n:
+            self._train_order = np.arange(n)
+            self.random_state.shuffle(self._train_order)
+            self._train_ptr = 0
         while True:
-            if ptr + self.batch_size > n:
-                self.random_state.shuffle(order)
-                ptr = 0
-            idx = np.sort(order[ptr : ptr + self.batch_size])
-            ptr += self.batch_size
+            with self._lock:
+                if self._train_ptr + self.batch_size > n:
+                    self.random_state.shuffle(self._train_order)
+                    self._train_ptr = 0
+                idx = np.sort(
+                    self._train_order[self._train_ptr
+                                      : self._train_ptr + self.batch_size])
+                self._train_ptr += self.batch_size
             yield self._select(self.train, idx)
+
+    def state_dict(self) -> dict:
+        """Serializable train-stream position (RNG state + order + pointer).
+
+        Note: with :func:`prefetch_to_device` the producer thread runs a
+        couple of batches ahead of the consumed step, so a state saved at
+        iteration *k* resumes the stream within ~prefetch-depth batches of
+        where training actually was — the stream continues with unseen data
+        rather than replaying from the start.
+        """
+        with self._lock:
+            return {
+                "rng_state": self.random_state.get_state(),
+                "order": (None if self._train_order is None
+                          else self._train_order.copy()),
+                "ptr": self._train_ptr,
+            }
+
+    def load_state_dict(self, d: dict) -> None:
+        with self._lock:
+            self.random_state.set_state(d["rng_state"])
+            self._train_order = (None if d["order"] is None
+                                 else np.asarray(d["order"]))
+            self._train_ptr = int(d["ptr"])
 
     def generate_validate(self, data_type: str = "validate",
                           max_iteration: Optional[int] = None
@@ -113,8 +153,9 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
                 else:
                     item = jax.device_put(item)
                 q.put(item)
-        finally:
             q.put(sentinel)
+        except BaseException as exc:   # propagate — never fake end-of-data
+            q.put(_ProducerError(exc))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -122,4 +163,15 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
         item = q.get()
         if item is sentinel:
             return
+        if isinstance(item, _ProducerError):
+            raise RuntimeError(
+                "prefetch producer thread failed") from item.exc
         yield item
+
+
+class _ProducerError:
+    """Exception carrier: a producer-thread failure must crash the consumer,
+    not masquerade as a clean end-of-stream (ADVICE.md round 1)."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -29,7 +29,7 @@ from ..config import Config, DEFAULT, classes_num
 
 __all__ = [
     "pack_waveforms_to_hdf5", "calculate_scalar", "load_scalar", "scale",
-    "read_split", "SplitReader",
+    "read_split", "SplitReader", "subset_reader", "holdout_indices",
 ]
 
 
@@ -183,3 +183,64 @@ def read_split(path: str, load_waveform: bool = False,
                in_memory: bool = True) -> SplitReader:
     return SplitReader(path, load_waveform=load_waveform,
                        in_memory=in_memory)
+
+
+class _IndexedView:
+    """Lazy row-subset view over an h5py dataset (or ndarray).
+
+    ``view[idx]`` maps through a sorted ascending index array, preserving
+    h5py's sorted-fancy-indexing contract when ``idx`` is itself sorted.
+    """
+
+    def __init__(self, ds, indices: np.ndarray):
+        self._ds = ds
+        self._indices = indices
+
+    def __getitem__(self, idx):
+        return self._ds[self._indices[idx]]
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    @property
+    def shape(self):
+        return (len(self._indices),) + tuple(self._ds.shape[1:])
+
+
+def subset_reader(reader: SplitReader, indices) -> SplitReader:
+    """A :class:`SplitReader`-shaped view of a row subset of ``reader``.
+
+    ``indices`` must be sorted ascending. In-memory arrays are materialized
+    (cheap — they're already in RAM); lazy h5py datasets get an
+    :class:`_IndexedView` so the subset stays lazy.
+    """
+    indices = np.asarray(indices)
+    sub = SplitReader.__new__(SplitReader)
+    sub._hf = None                         # base reader owns the file handle
+    sub.audio_names = [reader.audio_names[i] for i in indices]
+    sub.target = np.asarray(reader.target)[indices]
+    if isinstance(reader.feature, np.ndarray):
+        sub.feature = reader.feature[indices]
+        sub.waveform = (None if reader.waveform is None
+                        else np.asarray(reader.waveform)[indices])
+    else:
+        sub.feature = _IndexedView(reader.feature, indices)
+        sub.waveform = (None if reader.waveform is None
+                        else _IndexedView(reader.waveform, indices))
+    return sub
+
+
+def holdout_indices(n: int, fold: int, n_folds: int = 4) -> tuple:
+    """Deterministic round-robin fold assignment → (train_idx, holdout_idx).
+
+    The reference keys its train/validation split on ``--holdout_fold``
+    (SURVEY.md §2 "Train driver" knobs) using DCASE fold metadata; no fold
+    metadata ships with this corpus, so clip ``i`` belongs to fold
+    ``(i % n_folds) + 1`` — deterministic, balanced, and stable across runs.
+    ``fold`` is 1-based.
+    """
+    if not 1 <= fold <= n_folds:
+        raise ValueError(f"holdout_fold must be in 1..{n_folds}, got {fold}")
+    idx = np.arange(n)
+    mask = (idx % n_folds) == (fold - 1)
+    return idx[~mask], idx[mask]

@@ -33,7 +33,8 @@ import numpy as np
 
 from . import autoth, checkpoints, scoring, sed, train as train_lib
 from .config import DEFAULT, classes_num, labels
-from .data import DataGenerator, load_scalar, prefetch_to_device, read_split
+from .data import (DataGenerator, holdout_indices, load_scalar,
+                   prefetch_to_device, read_split, subset_reader)
 from .evaluate import Evaluator, tagging_metrics
 from .models import get_model
 from .ops.stft import make_logmel_fn
@@ -96,6 +97,15 @@ def _build(args, for_train: bool):
         if train_reader.waveform is not None:
             train_reader.waveform = train_reader.waveform[:n]
 
+    # --holdout_fold=k: hold fold k of the training split out as the
+    # validation set and train on the rest (reference train/validation fold
+    # semantics; fold assignment documented in data.holdout_indices).
+    holdout = getattr(args, "holdout_fold", None)
+    if holdout is not None and str(holdout).lower() not in ("none", ""):
+        tr_idx, ho_idx = holdout_indices(len(train_reader), int(holdout))
+        test_reader = subset_reader(train_reader, ho_idx)
+        train_reader = subset_reader(train_reader, tr_idx)
+
     scalar = load_scalar(os.path.join(ws, "scalars", "training.h5"))
     gen = DataGenerator(train_reader, test_reader,
                         batch_size=args.batch_size, scalar=scalar,
@@ -129,6 +139,17 @@ def _build(args, for_train: bool):
                 test_reader=test_reader)
 
 
+def _save_data_state(ckpt_dir: str, gen, iteration: int) -> None:
+    """Checkpoint the data-stream position alongside the model checkpoint so
+    a resumed run continues with unseen data (SURVEY.md §5 failure-recovery;
+    round-1 resume restarted the shuffle stream)."""
+    path = os.path.join(ckpt_dir, f"{iteration}_iterations.datastate.pkl")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(gen.state_dict(), f)
+    os.replace(tmp, path)
+
+
 def do_train(args) -> None:
     paths = _paths(args)
     for k in ("checkpoints", "predictions", "submissions", "logs"):
@@ -145,17 +166,36 @@ def do_train(args) -> None:
     state = jax.device_put(state, replicated_sharding(mesh))
     logger.info("mesh: %d device(s): %s", mesh.size, mesh.devices.ravel())
 
+    statistics = StatisticsContainer(paths["statistics"])
     if args.resume_iteration > 0:
         ckpt = os.path.join(paths["checkpoints"],
                             f"{args.resume_iteration}_iterations.ckpt")
         state = checkpoints.load_checkpoint(ckpt, state)
         state = jax.device_put(state, replicated_sharding(mesh))
         logger.info("resumed from %s", ckpt)
-
-    statistics = StatisticsContainer(paths["statistics"])
+        # preserve the pre-resume metric history so plot curves keep their
+        # prefix after the next dump; records AT the resume iteration are
+        # dropped because the resumed loop re-evaluates there when the eval
+        # cadence aligns (avoids duplicate points).
+        if os.path.isfile(paths["statistics"]):
+            statistics.load(args.resume_iteration - 1)
+            logger.info("statistics history restored: %d records",
+                        len(statistics.statistics_list))
+        # continue the data stream where the checkpointed run left off
+        dstate = ckpt.replace("_iterations.ckpt", "_iterations.datastate.pkl")
+        if os.path.isfile(dstate):
+            with open(dstate, "rb") as f:
+                gen.load_state_dict(pickle.load(f))
+            logger.info("data-stream state restored from %s", dstate)
     evaluator = Evaluator(eval_step, labels, DEFAULT.frames_per_second,
                           sharding=bsh if mesh.size > 1 else None)
-    test_gt = _strong_labels(args, "testing")
+    # with --holdout_fold the validation set is a fold of the (weakly
+    # labelled) training split — no strong labels exist for it, so
+    # training-time SED metrics are skipped (AT metrics still run).
+    holdout = getattr(args, "holdout_fold", None)
+    test_gt = (None
+               if holdout is not None and str(holdout).lower() not in ("none", "")
+               else _strong_labels(args, "testing"))
 
     it = int(jax.device_get(state.step))
     t0 = time.time()
@@ -167,6 +207,15 @@ def do_train(args) -> None:
             for split, reader in (("train", None), ("test", ctx["test_reader"])):
                 if split == "test" and reader is None:
                     continue
+                src = gen.train if split == "train" else reader
+                n_eval = min(len(src),
+                             args.eval_max_iteration * args.batch_size)
+                if n_eval < len(src):
+                    logger.info(
+                        "eval [%s] truncated to %d/%d clips "
+                        "(--eval_max_iteration=%d; final metrics use the "
+                        "full split via the inference subcommand)",
+                        split, n_eval, len(src), args.eval_max_iteration)
                 g = gen.generate_validate(
                     "train" if split == "train" else "validate",
                     max_iteration=args.eval_max_iteration)
@@ -191,6 +240,7 @@ def do_train(args) -> None:
                 statistics.append(it, stats, split)
             statistics.dump()
             checkpoints.save_checkpoint(paths["checkpoints"], state, it)
+            _save_data_state(paths["checkpoints"], gen, it)
             eval_time = time.time() - t0 - train_time
             if it > 0 and train_time > 0:
                 cps = args.eval_interval * args.batch_size / train_time
@@ -212,12 +262,21 @@ def do_train(args) -> None:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
             logger.info("profiler trace stopped (5 steps)")
+        if args.check_numerics:
+            bad = int(jax.device_get(metrics["nonfinite_count"]))
+            if bad > 0:
+                checkpoints.save_checkpoint(
+                    paths["checkpoints"], state, it + 1)
+                raise FloatingPointError(
+                    f"--check_numerics: {bad} non-finite loss/grad values "
+                    f"at iteration {it}; aborting (state saved)")
         if it % 100 == 0:
             logger.info("iter %d loss %.4f", it,
                         float(jax.device_get(metrics["loss"])))
         it += 1
 
     checkpoints.save_checkpoint(paths["checkpoints"], state, it)
+    _save_data_state(paths["checkpoints"], gen, it)
     logger.info("done at iter %d", it)
 
 
@@ -350,8 +409,10 @@ def do_optimize_at_thresholds(args) -> None:
 
 
 def do_optimize_sed_thresholds(args) -> None:
-    """Per-class SED high-threshold search (low = high/2) maximizing segment
-    F1 on the testing split (reference: optimize_sed_thresholds, §3.5)."""
+    """Full ``sed_params_dict`` search — per-class (high, low) hysteresis
+    pairs plus the ``n_smooth``/``n_salt`` smoothing lengths — maximizing
+    segment F1 on the testing split (reference: optimize_sed_thresholds,
+    SURVEY.md §3.5; the paper's automatic threshold optimization)."""
     paths = _paths(args)
     create_folder(paths["opt_thresholds"])
     preds = _load_predictions(args, paths, "testing")
@@ -359,24 +420,22 @@ def do_optimize_sed_thresholds(args) -> None:
     if gt is None:
         raise FileNotFoundError("no strong ground truth for testing split")
     fw, names = preds["framewise_output"], preds["audio_name"]
-    base = dict(sed.sed_params_dict)
 
-    def score(high):
-        params = dict(base, sed_high_threshold=high,
-                      sed_low_threshold=high * 0.5)
+    def score(params):
         events = sed.frame_prediction_to_event_prediction(
             fw, params, DEFAULT.frames_per_second, labels)
         est = {names[i]: events[i] for i in range(len(names))}
         m = scoring.segment_based_metrics(gt, est, 10.0, 1.0, labels)
         return m["overall"]["f_measure"]["f_measure"]
 
-    best, thr = autoth.optimize_thresholds(score, classes_num, init=0.5,
-                                           step=0.05, max_iter=20)
-    params = dict(base, sed_high_threshold=thr, sed_low_threshold=thr * 0.5)
+    base_score = score(dict(sed.sed_params_dict))
+    best, params = autoth.optimize_sed_params(score, classes_num)
     out = os.path.join(paths["opt_thresholds"], "sed.pickle")
     with open(out, "wb") as f:
         pickle.dump({"sed_params": params, "score": best}, f)
-    print(f"SED segment-F1 → {best:.4f}; params → {out}")
+    print(f"SED segment-F1 {base_score:.4f} → {best:.4f} "
+          f"(n_smooth={params['n_smooth']} n_salt={params['n_salt']}); "
+          f"params → {out}")
 
 
 def _add_common(sp):
@@ -396,8 +455,10 @@ def _add_common(sp):
                     help="train on only the first N clips (quick runs; "
                          "reference parity knob)")
     sp.add_argument("--holdout_fold", default=None,
-                    help="accepted for reference-CLI parity; keys the "
-                         "run-config path when set")
+                    help="hold fold K (1-4, round-robin clip assignment) of "
+                         "the training split out as the validation set and "
+                         "train on the rest; default trains on all clips "
+                         "with the testing split as validation")
     sp.add_argument("--feature_source", default="logmel",
                     choices=["logmel", "waveform"])
     sp.add_argument("--no_pallas", action="store_true",

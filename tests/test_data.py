@@ -7,9 +7,9 @@ import pytest
 
 from sound_event_detection_dcase2017_task4_tpu.config import Config
 from sound_event_detection_dcase2017_task4_tpu.data import (
-    DataGenerator, calculate_scalar, load_scalar, make_synthetic_dataset,
-    pack_waveforms_to_hdf5, pad_or_truncate, prefetch_to_device, read_split,
-    scale)
+    DataGenerator, calculate_scalar, holdout_indices, load_scalar,
+    make_synthetic_dataset, pack_waveforms_to_hdf5, pad_or_truncate,
+    prefetch_to_device, read_split, scale, subset_reader)
 
 
 @pytest.fixture(scope="module")
@@ -117,3 +117,69 @@ def test_prefetch_to_device(split_h5):
     items = list(prefetch_to_device(gen.generate_validate("validate")))
     assert len(items) == 3
     assert items[0][0].shape[0] == 4
+
+
+def test_prefetch_propagates_producer_exception():
+    """A producer-thread crash must crash the consumer, not end the stream
+    cleanly (ADVICE.md round 1: a data-pipeline failure masqueraded as
+    successful completion)."""
+
+    def broken():
+        yield (np.zeros((2, 4), np.float32), np.zeros((2, 17), np.float32))
+        raise OSError("simulated HDF5 read failure")
+
+    it = prefetch_to_device(broken())
+    next(it)
+    with pytest.raises(RuntimeError, match="prefetch producer"):
+        for _ in it:
+            pass
+
+
+def test_generator_state_dict_resume(split_h5):
+    """load_state_dict(state_dict()) continues the exact batch stream."""
+    path, _, _ = split_h5
+    r = read_split(path)
+    g = DataGenerator(r, batch_size=4, seed=3)
+    it = g.generate_train()
+    for _ in range(7):
+        next(it)
+    snap = g.state_dict()
+    expect = [next(it) for _ in range(5)]
+
+    g2 = DataGenerator(r, batch_size=4, seed=999)   # different seed
+    g2.load_state_dict(snap)
+    it2 = g2.generate_train()
+    for (xa, ya), (xb, yb) in zip(expect, (next(it2) for _ in range(5))):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+
+
+def test_holdout_indices_partition():
+    tr, ho = holdout_indices(10, fold=2, n_folds=4)
+    assert sorted(np.concatenate([tr, ho]).tolist()) == list(range(10))
+    assert set(ho.tolist()) == {1, 5, 9}            # i % 4 == 1 (fold 2)
+    with pytest.raises(ValueError):
+        holdout_indices(10, fold=5, n_folds=4)
+
+
+def test_subset_reader_views(split_h5):
+    path, cfg, _ = split_h5
+    mem = read_split(path, load_waveform=True, in_memory=True)
+    lazy = read_split(path, load_waveform=True, in_memory=False)
+    idx = np.array([0, 3, 4, 8])
+    sub_m = subset_reader(mem, idx)
+    sub_l = subset_reader(lazy, idx)
+    assert len(sub_m) == len(sub_l) == 4
+    assert sub_m.audio_names == [mem.audio_names[i] for i in idx]
+    take = np.array([1, 3])                          # sorted sub-index
+    np.testing.assert_array_equal(sub_m.feature[take],
+                                  mem.feature[idx[take]])
+    np.testing.assert_array_equal(sub_l.feature[take],
+                                  mem.feature[idx[take]])
+    np.testing.assert_array_equal(sub_l.waveform[take],
+                                  mem.waveform[idx[take]])
+    # the subset works as a DataGenerator source
+    gen = DataGenerator(sub_l, batch_size=2)
+    x, y = next(gen.generate_train())
+    assert x.shape[0] == 2 and y.shape == (2, 17)
+    lazy.close()

@@ -78,6 +78,29 @@ class TestAutoth:
         best, thr = autoth.optimize_thresholds(score, 4, init=0.3)
         assert best >= base
 
+    def test_sed_params_full_search(self):
+        """optimize_sed_params searches per-class (high, low) pairs AND the
+        discrete smoothing lengths (SURVEY.md §3.5 — round 1 tied
+        low = high/2 and froze n_smooth/n_salt)."""
+        opt_high = np.array([0.3, 0.7])
+        opt_low = np.array([0.15, 0.4])
+
+        def score(params):
+            s = -np.abs(params["sed_high_threshold"] - opt_high).sum()
+            s -= np.abs(params["sed_low_threshold"] - opt_low).sum()
+            s -= 0.01 * abs(params["n_smooth"] - 15)    # best at 15
+            s -= 0.01 * abs(params["n_salt"] - 5)       # best at 5
+            return s
+
+        best, p = autoth.optimize_sed_params(score, 2, max_iter=100)
+        assert p["n_smooth"] == 15 and p["n_salt"] == 5
+        np.testing.assert_allclose(p["sed_high_threshold"], opt_high,
+                                   atol=0.06)
+        np.testing.assert_allclose(p["sed_low_threshold"], opt_low,
+                                   atol=0.06)
+        # hysteresis invariant enforced
+        assert (p["sed_low_threshold"] <= p["sed_high_threshold"]).all()
+
 
 class TestStatisticsContainer:
     def test_append_dump_load(self, tmp_path):

@@ -60,3 +60,31 @@ def test_load_batch(tmp_path):
 def test_load_batch_missing_file(tmp_path):
     with pytest.raises(IOError):
         native.load_wav_batch([str(tmp_path / "nope.wav")], 32000, 100)
+
+
+def _write_extensible_float_wav(path, x, sr):
+    """WAVE_FORMAT_EXTENSIBLE container with an IEEE-float SubFormat GUID."""
+    import struct
+
+    data = np.asarray(x, np.float32).tobytes()
+    guid = bytes([0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+                  0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71])
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 1, sr, sr * 4, 4, 32, 22, 32,
+                      0) + guid
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks)
+
+
+def test_load_extensible_float_wav(tmp_path):
+    """A WAVE_FORMAT_EXTENSIBLE float32 file must be decoded as float, not
+    misread as int32 PCM (ADVICE.md round 1: the SubFormat GUID carries the
+    real format code)."""
+    rng = np.random.RandomState(4)
+    x = (rng.randn(8000) * 0.2).astype(np.float32)
+    path = str(tmp_path / "ext.wav")
+    _write_extensible_float_wav(path, x, 32000)
+    w = native.load_wav(path, 32000, 8000)
+    np.testing.assert_allclose(w, x, atol=1e-6)

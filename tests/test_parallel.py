@@ -108,7 +108,10 @@ def test_eval_step_sharded(setup):
     state = jax.device_put(state, replicated_sharding(mesh))
     eval_step = train.make_eval_step(model)
     out_sharded = eval_step(state, jax.device_put(x, batch_sharding(mesh)))
-    out_plain = eval_step(jax.device_get(state) and state, x)
+    # unsharded leg: genuinely unsharded state (host numpy pytree)
+    unsharded_state = jax.tree_util.tree_map(np.asarray,
+                                             jax.device_get(state))
+    out_plain = eval_step(unsharded_state, x)
     np.testing.assert_allclose(
         np.asarray(out_sharded["clipwise_output"]),
         np.asarray(out_plain["clipwise_output"]), rtol=1e-5, atol=1e-6)

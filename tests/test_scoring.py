@@ -84,3 +84,16 @@ def test_events_beyond_duration_extend_segments():
     est = {"f.wav": [(0.0, 1.0, "A"), (11.0, 12.0, "A")]}
     m = scoring.segment_based_metrics(ref, est, 10.0, 1.0, LBL)
     assert m["class_wise"]["A"]["nfp"] == 1.0
+
+
+def test_predictions_on_files_absent_from_ref_count_as_insertions():
+    """sed_eval scores the union of files: false positives on clips with no
+    reference events must cost insertions (ADVICE.md round 1 — iterating
+    only over ref silently dropped them, inflating F1)."""
+    ref = {"a.wav": [(0.0, 2.0, "A")]}
+    est = {"a.wav": [(0.0, 2.0, "A")],
+           "noev.wav": [(0.0, 3.0, "B")]}     # not in ground truth at all
+    m = scoring.segment_based_metrics(ref, est, 10.0, 1.0, LBL)
+    assert m["class_wise"]["B"]["nfp"] == 3.0
+    assert m["overall"]["error_rate"]["insertion_rate"] == 3.0 / 2.0
+    assert m["overall"]["f_measure"]["f_measure"] < 1.0
