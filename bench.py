@@ -7,8 +7,11 @@ Prints ONE JSON line to stdout:
   available TPU chip(s) (the BASELINE.json headline metric).
 * vs_baseline: ratio to the reference-style CPU pipeline (torch CPU,
   STFT+mel frontend + the same CRNN topology, fwd+bwd+Adam) — the
-  BASELINE.json target is >10×. The CPU number is measured once and cached
-  in ``.bench_cpu_baseline.json`` (delete to re-measure).
+  BASELINE.json target is >10×. The CPU number is the mean of 10 timed
+  steps (spread + torch thread count recorded), cached in
+  ``.bench_cpu_baseline.json`` (delete to re-measure). Note this image's
+  host has 1 vCPU (nproc=1, torch uses it fully); a multicore workstation
+  would narrow the ratio by roughly its core count.
 
 Batches are staged on device before timing: the hosting tunnel caps
 host→device bandwidth at ~20 MB/s, which is an artifact of this
@@ -165,16 +168,22 @@ def bench_cpu_reference() -> float:
         opt.step()
 
     step()                                       # warm-up
-    n_steps = 2
-    t0 = time.perf_counter()
+    n_steps = 10
+    times = []
     for _ in range(n_steps):
+        t0 = time.perf_counter()
         step()
-    dt = (time.perf_counter() - t0) / n_steps
+        times.append(time.perf_counter() - t0)
+    times_arr = np.array(times)
+    dt, spread = float(times_arr.mean()), float(times_arr.std())
     cps = bsz / dt
-    log(f"cpu: {cps:.2f} clips/s ({dt:.2f} s/step, batch {bsz}, torch "
-        f"{os.environ.get('OMP_NUM_THREADS', 'default')} threads)")
+    threads = torch.get_num_threads()
+    log(f"cpu: {cps:.2f} clips/s ({dt:.2f} ± {spread:.2f} s/step over "
+        f"{n_steps} steps, batch {bsz}, {threads} torch threads)")
     with open(CPU_CACHE, "w") as f:
-        json.dump({"clips_per_sec": cps, "batch": bsz,
+        json.dump({"clips_per_sec": cps, "batch": bsz, "n_steps": n_steps,
+                   "step_seconds_mean": dt, "step_seconds_std": spread,
+                   "torch_threads": threads,
                    "measured_at": time.time()}, f)
     return cps
 

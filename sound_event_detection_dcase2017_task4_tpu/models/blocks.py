@@ -17,14 +17,77 @@ Design notes vs the reference:
 from __future__ import annotations
 
 
-
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvBlock", "GLUBlock", "AttBlock", "interpolate",
-           "pad_framewise_output", "frames_after_pooling"]
+__all__ = ["ConvBlock", "GLUBlock", "AttBlock", "BatchNorm", "avg_pool_2d",
+           "interpolate", "pad_framewise_output", "frames_after_pooling"]
 
 _glorot = nn.initializers.glorot_uniform()
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm tuned for bf16 activations on TPU.
+
+    Same math and variable layout as ``flax.linen.BatchNorm`` (params
+    ``scale``/``bias``, batch_stats ``mean``/``var``, biased batch variance,
+    EMA running stats), re-expressed so XLA never materializes an f32 copy
+    of the activation (round-1 profiling attributed ~35 ms of the 97 ms
+    train step to BN statistic reductions + bf16↔f32 converts;
+    flax's ``_compute_stats`` upcasts the whole tensor):
+
+    * batch statistics are two reductions with **f32 accumulators read
+      directly from the bf16 activation** (the elementwise convert+square
+      fuses into the reduce, single HBM pass for both via multi-output
+      fusion);
+    * normalization is folded to per-channel ``y = x * a + b`` with
+      ``a = scale/sqrt(var+eps)``, ``b = bias − mean·a`` computed in f32 on
+      ``[C]``-shaped vectors only — one bf16 FMA over the activation that
+      XLA fuses into the adjacent conv/ReLU.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(c, jnp.float32))
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes, dtype=jnp.float32)
+            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * var
+
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x * a.astype(self.dtype) + b.astype(self.dtype)
+
+
+def avg_pool_2d(x: jnp.ndarray, pool: tuple[int, int]) -> jnp.ndarray:
+    """Non-overlapping 2-D average pool on ``[B, T, F, C]``.
+
+    Kept on ``nn.avg_pool`` (``reduce_window``): an A/B on the v5e chip
+    showed the tempting reshape+mean form is 33% SLOWER end-to-end
+    (129.7 vs 97.6 ms/step, bench config) — the [B,T/2,2,F/2,2,C] reshape
+    forces relayouts that cost far more than reduce_window's backward.
+    """
+    return nn.avg_pool(x, pool, strides=pool)
 
 
 class ConvBlock(nn.Module):
@@ -40,17 +103,19 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        for _ in range(2):
+        for i in range(2):
             x = nn.Conv(
                 self.channels, (3, 3), padding="SAME", use_bias=False,
                 kernel_init=_glorot, dtype=self.dtype,
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            # explicit name keeps the flax-nn.BatchNorm checkpoint layout
+            x = BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                dtype=self.dtype, name=f"BatchNorm_{i}",
             )(x)
             x = nn.relu(x)
         if self.pool != (1, 1):
-            x = nn.avg_pool(x, self.pool, strides=self.pool)
+            x = avg_pool_2d(x, self.pool)
         return x
 
 
@@ -69,18 +134,19 @@ class GLUBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        for _ in range(2):
+        for i in range(2):
             h = nn.Conv(
                 2 * self.channels, (3, 3), padding="SAME", use_bias=False,
                 kernel_init=_glorot, dtype=self.dtype,
             )(x)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            h = BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                dtype=self.dtype, name=f"BatchNorm_{i}",
             )(h)
             lin, gate = jnp.split(h, 2, axis=-1)
             x = lin * nn.sigmoid(gate)
         if self.pool != (1, 1):
-            x = nn.avg_pool(x, self.pool, strides=self.pool)
+            x = avg_pool_2d(x, self.pool)
         return x
 
 

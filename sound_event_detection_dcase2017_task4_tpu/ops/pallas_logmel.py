@@ -21,11 +21,15 @@ Formulation (GEMM-native NDFT, cf. PAPERS.md "MelT"):
       Im = Σ_j  chunks[f0+j : f0+j+F, :] @ Wsin_j
       logmel = log10-compress( (Re² + Im²) @ melW )
 
-* The ``n_seg`` shifted chunk views are materialised host-side as a lag
-  stack ``[B, n_seg, rows, hop_pad]`` (a cheap XLA slice+stack; n_seg× the
-  tiny waveform, ~5 MB/clip). Every Pallas block is then a plain aligned
-  BlockSpec fetch — no manual DMA — so the Mosaic pipeline double-buffers
-  HBM→VMEM transfers behind the MXU work automatically.
+* Each grid step fetches one *windowed* chunk block
+  ``[FRAME_BLOCK + n_seg, hop_pad]`` (3% row overlap between consecutive
+  blocks) and slices the ``n_seg`` shifted views **in VMEM**. Round 1
+  materialised a full ``n_seg``× lag stack in HBM instead; the device trace
+  showed that stack costing ~5 ms/step of pure HBM traffic (805 MB written
+  by ``pad_maximum_fusion`` + read back by ``slice_bitcast_fusion``) —
+  4× the waveform for a tensor the kernel reads once. The windowed layout
+  keeps every BlockSpec fetch aligned (rows padded to the 8-sublane tile)
+  while shipping each waveform byte to VMEM ~once.
 
 Both the hop axis (320→384) and the frequency axis (513→640) are zero-padded
 to multiples of 128 lanes so every matmul and DMA tiles cleanly onto the
@@ -80,7 +84,7 @@ def _plan(cfg: Config):
     return n_seg, hop_pad, f_pad, cos_seg, sin_seg, mel_pad
 
 
-def _kernel(lag_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
+def _kernel(blk_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
             n_seg: int, ref_db: float, amin: float, precision):
     # precision=HIGHEST: the MXU multiplies in bf16 by default; the DFT is
     # part of the bit-compat contract with the XLA reference path, so force
@@ -90,7 +94,9 @@ def _kernel(lag_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
     re = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
     im = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
     for j in range(n_seg):
-        seg = lag_ref[0, j]                                  # [F, hop_pad]
+        # shifted view sliced in VMEM (static offset; Mosaic emits a cheap
+        # sublane roll for the off-tile starts)
+        seg = blk_ref[0, 0, j : j + _FRAME_BLOCK]            # [F, hop_pad]
         re += jnp.dot(seg, cos_ref[j], preferred_element_type=jnp.float32,
                       precision=precision)
         im += jnp.dot(seg, sin_ref[j], preferred_element_type=jnp.float32,
@@ -126,17 +132,24 @@ def logmel_pallas(
     n_blocks = pl.cdiv(n_frames, _FRAME_BLOCK)
     n_out = n_blocks * _FRAME_BLOCK
 
-    # Centre pad (librosa center=True), then zero-pad so every lag row exists.
+    # Centre pad (librosa center=True), then zero-pad so every chunk row of
+    # every (overlapping) block exists.
+    rows_blk = _round_up(_FRAME_BLOCK + n_seg, 8)            # sublane-tiled
     pad = win // 2
     x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
                 mode=cfg.pad_mode)
-    n_rows = n_out + n_seg
+    n_rows = n_out + rows_blk
     x = jnp.pad(x, ((0, 0), (0, n_rows * hop - x.shape[-1])))
     chunks = jnp.pad(                                        # lane-pad rows
         x.reshape(bsz, n_rows, hop), ((0, 0), (0, 0), (0, hop_pad - hop))
     )
-    # Lag stack: lag[:, j, r] = chunks[:, r + j] → every kernel fetch aligned.
-    lag = jnp.stack([chunks[:, j : j + n_out] for j in range(n_seg)], axis=1)
+    # Windowed blocks: block t covers chunk rows [t*FB, t*FB + FB + n_seg)
+    # (frame f = rows f..f+n_seg-1). ~3% row overlap, built by one fused
+    # slice+stack — vs the round-1 n_seg× HBM lag stack (see module doc).
+    blocks = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(chunks, t * _FRAME_BLOCK, rows_blk,
+                                      axis=1) for t in range(n_blocks)],
+        axis=1)                                  # [B, n_blocks, rows_blk, hop_pad]
 
     ref_db = float(10.0 * np.log10(max(cfg.log_amin, cfg.log_ref)))
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
@@ -150,9 +163,9 @@ def logmel_pallas(
         kernel,
         grid=(bsz, n_blocks),
         in_specs=[
-            pl.BlockSpec(                                    # lag chunk block
-                (1, n_seg, _FRAME_BLOCK, hop_pad),
-                lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(                                    # windowed chunks
+                (1, 1, rows_blk, hop_pad),
+                lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(                                    # resident consts
                 (n_seg, hop_pad, f_pad), lambda b, t: (0, 0, 0),
                 memory_space=pltpu.VMEM),
@@ -170,11 +183,11 @@ def logmel_pallas(
             (bsz, n_out, cfg.mel_bins), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n_out * (2 * win + cfg.mel_bins) * f_pad,
-            bytes_accessed=bsz * (n_seg * n_out * hop_pad
+            bytes_accessed=bsz * (n_blocks * rows_blk * hop_pad
                                   + n_out * cfg.mel_bins) * 4,
             transcendentals=bsz * n_out * cfg.mel_bins,
         ),
         interpret=interpret,
-    )(lag, jnp.asarray(cos_seg), jnp.asarray(sin_seg), jnp.asarray(mel_pad))
+    )(blocks, jnp.asarray(cos_seg), jnp.asarray(sin_seg), jnp.asarray(mel_pad))
 
     return out[:, :n_frames, :]

@@ -111,6 +111,20 @@ def spec_augment(rng: jax.Array, x: jnp.ndarray,
     return x
 
 
+def _fast_dropout_key(rng: jax.Array) -> jax.Array:
+    """Derive an ``rbg``-impl key from a threefry key for dropout masks.
+
+    The checkpointed train-state key stays threefry (stable serialized
+    format); only the *mask generation* switches to the hardware RBG
+    bit generator, which is markedly cheaper on TPU for the ~170M mask
+    elements per step (measured −3 ms/step on v5e at bench config —
+    threefry's rotate/xor chains showed up as ~2.4 ms pad_maximum +
+    ~2.5 ms slice_bitcast fusions in the device trace).
+    """
+    seed = jax.random.bits(rng, (4,), jnp.uint32)
+    return jax.random.wrap_key_data(seed, impl="rbg")
+
+
 def _frontend_and_norm(batch_x, frontend, scalar):
     if frontend is not None:
         batch_x = frontend(batch_x)                 # waveform → logmel
@@ -153,10 +167,12 @@ def make_train_step(
         if mixup_alpha > 0.0:
             x, y = mixup(mix_rng, x, y, mixup_alpha)
 
+        dropout_key = _fast_dropout_key(drop_rng)
+
         def loss_of(params):
             out, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                x, train=True, rngs={"dropout": drop_rng},
+                x, train=True, rngs={"dropout": dropout_key},
                 mutable=["batch_stats"])
             return loss_fn(out, y), (out, mutated["batch_stats"])
 
@@ -180,7 +196,17 @@ def make_train_step(
         return new_state, metrics
 
     donate = (0,) if donate_state else ()
-    return jax.jit(step_fn, donate_argnums=donate)
+    return jax.jit(step_fn, donate_argnums=donate,
+                   compiler_options=_tpu_compiler_options())
+
+
+def _tpu_compiler_options():
+    """Raising the scoped-VMEM budget lets the TPU conv emitters pick larger
+    tiles (round-1 HLO: conv fusions capped at ~12-16 MB scoped memory);
+    measured −2 ms/step on the v5e bench config, flat from 48 to 96 MB."""
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "49152"}
 
 
 def make_eval_step(model, frontend: Optional[Callable] = None,

@@ -107,3 +107,69 @@ def test_bf16_compute():
 def test_unknown_model_type():
     with pytest.raises(KeyError):
         get_model("Cnn_42layers_Nonsense")
+
+
+def test_fast_batchnorm_matches_flax():
+    """The TPU-tuned BatchNorm (f32-accumulated stats on the raw activation,
+    folded a*x+b epilogue) must match flax.linen.BatchNorm in f32: outputs,
+    gradients, and running-stat updates."""
+    from flax import linen as nn
+
+    from sound_event_detection_dcase2017_task4_tpu.models.blocks import (
+        BatchNorm)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 9, 5, 7).astype(np.float32) * 2.0 + 0.5)
+
+    ours = BatchNorm(use_running_average=False, momentum=0.9)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9)
+    v_ours = ours.init(jax.random.PRNGKey(0), x)
+    v_ref = ref.init(jax.random.PRNGKey(0), x)
+    # same variable layout (checkpoint compatibility with round-1 ckpts)
+    assert set(v_ours["params"]) == set(v_ref["params"]) == {"scale", "bias"}
+    assert set(v_ours["batch_stats"]) == {"mean", "var"}
+
+    def run(mod, v):
+        y, mut = mod.apply(v, x, mutable=["batch_stats"])
+        return y, mut["batch_stats"]
+
+    y1, bs1 = run(ours, v_ours)
+    y2, bs2 = run(ref, v_ref)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bs1["mean"]),
+                               np.asarray(bs2["mean"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bs1["var"]),
+                               np.asarray(bs2["var"]), rtol=1e-5)
+
+    def loss(mod, v):
+        y, _ = mod.apply(v, x, mutable=["batch_stats"])
+        return jnp.sum(y * y)
+
+    g1 = jax.grad(lambda v: loss(ours, v))(v_ours)["params"]
+    g2 = jax.grad(lambda v: loss(ref, v))(v_ref)["params"]
+    for k in ("scale", "bias"):
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=2e-4, atol=2e-4)
+
+    # eval mode uses running stats
+    ve = {"params": v_ours["params"], "batch_stats": bs1}
+    y_eval = BatchNorm(use_running_average=True).apply(ve, x)
+    ve2 = {"params": v_ref["params"], "batch_stats": bs2}
+    y_eval_ref = nn.BatchNorm(use_running_average=True).apply(ve2, x)
+    np.testing.assert_allclose(np.asarray(y_eval), np.asarray(y_eval_ref),
+                               atol=2e-5)
+
+
+def test_avg_pool_2d_matches_reduce_window():
+    from flax import linen as nn
+
+    from sound_event_detection_dcase2017_task4_tpu.models.blocks import (
+        avg_pool_2d)
+
+    rng = np.random.RandomState(1)
+    for shape in [(2, 8, 6, 3), (2, 9, 7, 3)]:      # even + odd (ragged tail)
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        got = avg_pool_2d(x, (2, 2))
+        want = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
