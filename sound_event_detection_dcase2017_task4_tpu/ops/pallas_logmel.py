@@ -117,12 +117,12 @@ def logmel_pallas(
 ) -> jnp.ndarray:
     """Fused log-mel: ``[B, clip_samples] f32 → [B, frames_num, mel] f32``.
 
-    Same semantics as :func:`ops.stft.logmel` with ``log_top_db=None``
-    (per-clip top_db needs a cross-block reduction — use the XLA path for
-    that variant; the reference family defaults to ``top_db=None``).
+    Same semantics as :func:`ops.stft.logmel`, including per-clip
+    ``log_top_db`` clamping (``max(log_spec, peak − top_db)``, librosa
+    ``power_to_db``) — the cross-block per-clip peak is a tiny XLA
+    reduction over the kernel's ``[B, T, mel]`` output, so it stays
+    outside the kernel.
     """
-    if cfg.log_top_db is not None:
-        raise NotImplementedError("top_db requires the XLA logmel path")
     assert waveform.ndim == 2, "expected [batch, samples]"
 
     n_seg, hop_pad, f_pad, cos_seg, sin_seg, mel_pad = _plan(cfg)
@@ -190,4 +190,8 @@ def logmel_pallas(
         interpret=interpret,
     )(blocks, jnp.asarray(cos_seg), jnp.asarray(sin_seg), jnp.asarray(mel_pad))
 
-    return out[:, :n_frames, :]
+    out = out[:, :n_frames, :]
+    if cfg.log_top_db is not None:
+        peak = jnp.max(out, axis=(-2, -1), keepdims=True)    # per clip
+        out = jnp.maximum(out, peak - cfg.log_top_db)
+    return out

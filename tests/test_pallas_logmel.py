@@ -43,10 +43,17 @@ def test_pallas_full_clip_shape(wave):
     np.testing.assert_allclose(out, ref, atol=1e-1, rtol=0)
 
 
-def test_pallas_rejects_top_db(wave):
-    cfg = config.Config(clip_samples=32000, log_top_db=80.0)
-    with pytest.raises(NotImplementedError):
-        logmel_pallas(wave, cfg, interpret=True)
+def test_pallas_top_db_matches_xla(wave):
+    """Per-clip top_db clamping (librosa power_to_db semantics) — an XLA
+    post-pass over the kernel output (round 1 gated this variant out)."""
+    cfg = config.Config(clip_samples=32000, log_top_db=15.0)
+    ref = np.asarray(stft.logmel(wave, cfg))
+    out = np.asarray(logmel_pallas(wave, cfg, interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-1, rtol=0)
+    # the clamp actually bit (silence floor pulled up to peak - top_db)
+    for i in range(out.shape[0]):
+        assert out[i].min() >= out[i].max() - 15.0 - 1e-4
+        assert np.isclose(out[i].min(), out[i].max() - 15.0, atol=1.0)
 
 
 @pytest.mark.parametrize("win,hop,mel", [(640, 200, 32), (512, 160, 40),

@@ -1,0 +1,334 @@
+"""Parity-on-arrival harness: verify this framework against the real
+reference tree / corpus the moment either becomes available.
+
+The reference mount ``/root/reference`` held 0 files when SURVEY.md was
+written (§0), so every reference citation in this repo is a reconstruction
+and BASELINE.md carries UNVERIFIED rows. This script is the single entry
+point to run when that changes. It has three stages, each of which degrades
+to an explicit SKIP (with the reason and what *would* be asserted) when its
+prerequisite is still missing — so running it today documents the exact
+contract, and running it on a populated mount executes it.
+
+Stages
+------
+1. ``tree``    — diff SURVEY.md §2's reconstructed file layout + symbols
+                 against the real reference tree; extract the reference's
+                 DSP constants and label table from ``utils/config.py`` and
+                 compare with ours. Output = the patch list for SURVEY.md.
+2. ``bitcompat`` — import the reference's frontend + SED decode (requires
+                 its deps: torch/librosa/numpy) and assert, on fixed-seed
+                 inputs, BASELINE.json's north-star contract:
+                 * clip-level log-mel features match ``ops/stft.logmel``
+                   (linear-domain rtol 2e-3, the f32 reduction-order bound);
+                 * decoded event lists from
+                   ``frame_prediction_to_event_prediction`` are IDENTICAL
+                   (same (onset, offset, label) tuples) for the same
+                   ``sed_params_dict``.
+3. ``dataset`` — sanity-check a real DCASE 2017 Task 4 corpus layout
+                 (metadata CSVs parse, split sizes match the published
+                 17 / ~51k / 488 / ~1.1k counts) so ``runme.sh`` can run
+                 the full quality-parity training that fills BASELINE.md's
+                 UNVERIFIED rows.
+
+Dry mode (no arguments, empty mount) additionally self-checks the parts of
+the contract that are testable today on the synthetic corpus: XLA-vs-Pallas
+frontend agreement and decode determinism.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# SURVEY.md §2's reconstructed layout: path → symbols expected inside.
+EXPECTED_TREE = {
+    "utils/config.py": ["sample_rate", "mel_bins", "labels", "lb_to_idx"],
+    "utils/features.py": ["LogMelExtractor", "calculate_scalar"],
+    "utils/data_generator.py": ["DataGenerator", "generate_train",
+                                "generate_validate"],
+    "utils/utilities.py": ["create_folder", "create_logging",
+                           "StatisticsContainer",
+                           "frame_prediction_to_event_prediction",
+                           "write_submission"],
+    "pytorch/main.py": ["train", "resume_iteration"],
+    "pytorch/models.py": ["init_layer", "init_bn", "ConvBlock"],
+    "pytorch/losses.py": ["clip_bce"],
+    "pytorch/pytorch_utils.py": ["move_data_to_device", "forward",
+                                 "interpolate", "pad_framewise_output"],
+    "pytorch/evaluate.py": ["Evaluator"],
+    "runme.sh": ["DATASET_DIR", "WORKSPACE"],
+}
+
+# Constants that form the bit-compat contract (ours, from config.py).
+EXPECTED_CONSTANTS = {
+    "sample_rate": 32000, "window_size": 1024, "hop_size": 320,
+    "mel_bins": 64, "fmin": 50, "fmax": 14000,
+}
+
+DCASE_SPLIT_SIZES = {"training": (40000, 60000), "testing": (400, 600),
+                     "evaluation": (900, 1400)}
+
+
+def _result(stage: str, status: str, detail: str) -> dict:
+    print(f"[{stage:9s}] {status:5s} {detail}")
+    return {"stage": stage, "status": status, "detail": detail}
+
+
+def stage_tree(ref_dir: str) -> list[dict]:
+    out = []
+    files = []
+    if os.path.isdir(ref_dir):
+        for root, _, names in os.walk(ref_dir):
+            files += [os.path.relpath(os.path.join(root, n), ref_dir)
+                      for n in names]
+    if not files:
+        out.append(_result(
+            "tree", "SKIP",
+            f"{ref_dir} is empty — when populated this stage diffs "
+            f"{len(EXPECTED_TREE)} reconstructed paths + "
+            f"{sum(len(v) for v in EXPECTED_TREE.values())} symbols and "
+            "extracts the reference DSP constants/labels for comparison"))
+        return out
+
+    out.append(_result("tree", "INFO", f"{len(files)} files in {ref_dir}"))
+    for rel, symbols in EXPECTED_TREE.items():
+        path = os.path.join(ref_dir, rel)
+        if not os.path.isfile(path):
+            near = [f for f in files if os.path.basename(f)
+                    == os.path.basename(rel)]
+            out.append(_result(
+                "tree", "DIFF",
+                f"{rel}: MISSING (candidates: {near or 'none'}) — patch "
+                "SURVEY.md §2"))
+            continue
+        text = open(path, errors="replace").read()
+        missing = [s for s in symbols if s not in text]
+        out.append(_result(
+            "tree", "OK" if not missing else "DIFF",
+            f"{rel}: {len(symbols) - len(missing)}/{len(symbols)} expected "
+            f"symbols present"
+            + (f"; missing {missing}" if missing else "")))
+
+    cfg_path = os.path.join(ref_dir, "utils", "config.py")
+    if os.path.isfile(cfg_path):
+        import ast
+
+        tree = ast.parse(open(cfg_path, errors="replace").read())
+        consts = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and len(node.targets) == 1 \
+                    and isinstance(node.targets[0], ast.Name):
+                try:
+                    consts[node.targets[0].id] = ast.literal_eval(node.value)
+                except (ValueError, SyntaxError):
+                    pass
+        for k, want in EXPECTED_CONSTANTS.items():
+            got = consts.get(k)
+            out.append(_result(
+                "tree", "OK" if got == want else "DIFF",
+                f"config {k}: reference={got!r} ours={want!r}"))
+        from sound_event_detection_dcase2017_task4_tpu.config import labels
+        got_labels = consts.get("labels")
+        out.append(_result(
+            "tree", "OK" if got_labels == list(labels) else "DIFF",
+            f"labels: reference has {len(got_labels or [])} classes, "
+            f"ours {len(labels)}"
+            + ("" if got_labels == list(labels)
+               else f"; diff={set(got_labels or []) ^ set(labels)}")))
+    return out
+
+
+def stage_bitcompat(ref_dir: str) -> list[dict]:
+    out = []
+
+    def load_ref_module(rel: str, name: str):
+        path = os.path.join(ref_dir, rel)
+        if not os.path.isfile(path):
+            return None
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.path.insert(0, os.path.dirname(path))
+        try:
+            spec.loader.exec_module(mod)
+            return mod
+        except Exception as e:                 # missing dep (librosa, ...)
+            out.append(_result("bitcompat", "SKIP",
+                               f"cannot import {rel}: {e!r}"))
+            return None
+        finally:
+            sys.path.pop(0)
+
+    # (a) frontend: reference LogMelExtractor vs ops/stft.logmel
+    feats = load_ref_module("utils/features.py", "ref_features")
+    if feats is not None and hasattr(feats, "LogMelExtractor"):
+        from sound_event_detection_dcase2017_task4_tpu.config import DEFAULT
+        from sound_event_detection_dcase2017_task4_tpu.ops.stft import logmel
+
+        rng = np.random.RandomState(0)
+        wave = (rng.randn(DEFAULT.clip_samples) * 0.1).astype(np.float32)
+        try:
+            ext = feats.LogMelExtractor(
+                sample_rate=DEFAULT.sample_rate,
+                window_size=DEFAULT.window_size, hop_size=DEFAULT.hop_size,
+                mel_bins=DEFAULT.mel_bins, fmin=DEFAULT.fmin,
+                fmax=DEFAULT.fmax)
+            ref = np.asarray(ext.transform(wave))
+            ours = np.asarray(logmel(wave[None], DEFAULT))[0][: len(ref)]
+            lin_ref, lin_ours = 10 ** (ref / 10), 10 ** (ours / 10)
+            rel_err = float(np.abs(lin_ref - lin_ours).max()
+                            / max(lin_ref.max(), 1e-10))
+            ok = ref.shape == ours.shape and rel_err < 2e-3
+            out.append(_result(
+                "bitcompat", "PASS" if ok else "FAIL",
+                f"frontend: ref {ref.shape} vs ours {ours.shape}, linear-"
+                f"domain max rel err {rel_err:.2e} (bound 2e-3)"))
+        except Exception as e:
+            out.append(_result("bitcompat", "FAIL",
+                               f"frontend comparison raised: {e!r}"))
+    else:
+        out.append(_result(
+            "bitcompat", "SKIP",
+            "reference LogMelExtractor unavailable — when importable this "
+            "asserts log-mel agreement at linear-domain rtol 2e-3 on a "
+            "fixed-seed 10 s waveform"))
+
+    # (b) SED decode: identical event lists on fixed-seed framewise probs
+    utils_mod = load_ref_module("utils/utilities.py", "ref_utilities")
+    fn = getattr(utils_mod, "frame_prediction_to_event_prediction", None) \
+        if utils_mod else None
+    if fn is not None:
+        from sound_event_detection_dcase2017_task4_tpu import sed
+        from sound_event_detection_dcase2017_task4_tpu.config import (
+            frames_per_second, labels)
+
+        rng = np.random.RandomState(1)
+        probs = rng.rand(4, 1001, 17).astype(np.float32)
+        ours = sed.frame_prediction_to_event_prediction(
+            probs, dict(sed.sed_params_dict), frames_per_second, labels)
+        try:
+            ref_events = fn(probs, dict(sed.sed_params_dict))
+            same = ref_events == ours            # exact tuple equality
+            out.append(_result(
+                "bitcompat", "PASS" if same else "FAIL",
+                "decode: event lists "
+                + ("identical" if same else
+                   "DIFFER — dump both and reconcile the decode order of "
+                   "operations (SURVEY.md §7 hard parts)")))
+        except Exception as e:
+            out.append(_result(
+                "bitcompat", "SKIP",
+                f"reference decode signature differs ({e!r}) — adapt the "
+                "call and re-run; ours produced "
+                f"{sum(len(e) for e in ours)} events"))
+    else:
+        out.append(_result(
+            "bitcompat", "SKIP",
+            "reference frame_prediction_to_event_prediction unavailable — "
+            "when importable this asserts IDENTICAL (onset, offset, label) "
+            "event lists on fixed-seed probs with shared sed_params_dict"))
+    return out
+
+
+def stage_dataset(dataset_dir: str | None) -> list[dict]:
+    out = []
+    if not dataset_dir or not os.path.isdir(dataset_dir):
+        out.append(_result(
+            "dataset", "SKIP",
+            "no --dataset_dir — when the real corpus lands this checks the "
+            "metadata CSVs parse and split sizes ≈ 17 classes / ~51k weak "
+            "train / 488 test / ~1.1k eval, then runme.sh fills "
+            "BASELINE.md's UNVERIFIED quality rows"))
+        return out
+    meta = os.path.join(dataset_dir, "metadata")
+    from sound_event_detection_dcase2017_task4_tpu import scoring
+
+    for split, (lo, hi) in DCASE_SPLIT_SIZES.items():
+        gt = os.path.join(meta,
+                          f"groundtruth_strong_label_{split}_set.csv")
+        weak = os.path.join(meta, f"{split}_set.csv")
+        path = gt if os.path.isfile(gt) else weak
+        if not os.path.isfile(path):
+            out.append(_result("dataset", "DIFF",
+                               f"{split}: no metadata CSV under {meta}"))
+            continue
+        try:
+            events = scoring.read_ground_truth(path)
+            n = len(events)
+            ok = lo <= n <= hi or split == "training"
+            out.append(_result(
+                "dataset", "OK" if ok else "DIFF",
+                f"{split}: {n} clips in {os.path.basename(path)} "
+                f"(expected {lo}–{hi})"))
+        except Exception as e:
+            out.append(_result("dataset", "DIFF",
+                               f"{split}: CSV parse failed: {e!r}"))
+    return out
+
+
+def stage_dry_selfcheck() -> list[dict]:
+    """What IS testable today: our own internal bit-compat invariants."""
+    out = []
+    import jax
+
+    from sound_event_detection_dcase2017_task4_tpu import sed
+    from sound_event_detection_dcase2017_task4_tpu.config import Config
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import (
+        logmel_pallas)
+    from sound_event_detection_dcase2017_task4_tpu.ops.stft import logmel
+
+    cfg = Config(clip_samples=32000)
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(2, cfg.clip_samples) * 0.1).astype(np.float32)
+    interpret = jax.default_backend() != "tpu"
+    a = np.asarray(logmel(wave, cfg))
+    b = np.asarray(logmel_pallas(wave, cfg, interpret=interpret))
+    err = float(np.abs(a - b).max())
+    out.append(_result("dry", "PASS" if err < 0.1 else "FAIL",
+                       f"XLA vs Pallas frontend max |d| {err:.2e} dB "
+                       f"(backend={jax.default_backend()})"))
+
+    probs = rng.rand(3, 500, 17).astype(np.float32)
+    e1 = sed.frame_prediction_to_event_prediction(probs)
+    e2 = sed.frame_prediction_to_event_prediction(probs)
+    out.append(_result("dry", "PASS" if e1 == e2 else "FAIL",
+                       "decode deterministic on fixed input "
+                       f"({sum(len(x) for x in e1)} events)"))
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--reference", default="/root/reference")
+    p.add_argument("--dataset_dir", default=None)
+    p.add_argument("--out", default=None,
+                   help="also write the results as JSON here")
+    args = p.parse_args(argv)
+
+    results = []
+    results += stage_tree(args.reference)
+    results += stage_bitcompat(args.reference)
+    results += stage_dataset(args.dataset_dir)
+    if all(r["status"] == "SKIP" for r in results):
+        results += stage_dry_selfcheck()
+
+    n_fail = sum(r["status"] in ("FAIL", "DIFF") for r in results)
+    print(f"\nsummary: {len(results)} checks, {n_fail} fail/diff, "
+          f"{sum(r['status'] == 'SKIP' for r in results)} skipped "
+          "(skips list exactly what they will assert once their "
+          "prerequisite exists)")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
