@@ -22,7 +22,7 @@ from typing import Callable, Dict, Sequence
 import numpy as np
 
 __all__ = ["HyperParamsOptimizer", "optimize_thresholds",
-           "optimize_sed_params"]
+           "optimize_sed_params", "exact_f1_thresholds"]
 
 
 class HyperParamsOptimizer:
@@ -78,6 +78,45 @@ def optimize_thresholds(score_fn: Callable[[np.ndarray], float],
     """Convenience wrapper: optimize one threshold per class."""
     opt = HyperParamsOptimizer(score_fn, step=step, max_iter=max_iter)
     return opt.do_optimize(np.full(classes_num, init))
+
+
+def exact_f1_thresholds(clipwise: np.ndarray, target: np.ndarray,
+                        default: float = 0.3) -> np.ndarray:
+    """Exact per-class F1-optimal decision thresholds (audio tagging).
+
+    Macro-F1 is the mean of per-class F1s, and each class's F1 depends only
+    on its own threshold — the objective is separable, so the global
+    optimum is found exactly by sweeping each class's sorted scores
+    (prediction sets grow one clip at a time as the threshold descends;
+    cumulative tp/fp give every achievable F1 in O(N log N)). This strictly
+    dominates the reference's iterative autoth search for the AT case
+    (reference: ``optimize_at_thresholds``, SURVEY.md §3.5) — same
+    maximizer, none of the local-optimum/step-size concerns. Classes with
+    no positive examples keep ``default`` (their F1 is 0 regardless).
+
+    Returns thresholds placed at the midpoint between the last included and
+    first excluded score, clipped to (0, 1).
+    """
+    clipwise = np.asarray(clipwise, np.float64)
+    target = np.asarray(target, np.float64)
+    n, c = clipwise.shape
+    out = np.full(c, default, np.float64)
+    for k in range(c):
+        pos = target[:, k].sum()
+        if pos == 0:
+            continue
+        order = np.argsort(-clipwise[:, k], kind="stable")
+        s = clipwise[order, k]
+        y = target[order, k]
+        tp = np.cumsum(y)
+        fp = np.cumsum(1.0 - y)
+        fn = pos - tp
+        f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-12)
+        j = int(np.argmax(f1))                 # include scores s[0..j]
+        upper = s[j]                           # last included score
+        lower = s[j + 1] if j + 1 < n else 0.0
+        out[k] = np.clip((upper + lower) / 2.0, 1e-6, 1.0 - 1e-6)
+    return out
 
 
 def optimize_sed_params(

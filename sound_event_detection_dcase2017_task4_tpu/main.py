@@ -390,8 +390,11 @@ def do_calculate_metrics(args) -> None:
 
 
 def do_optimize_at_thresholds(args) -> None:
-    """Per-class AT threshold search maximizing macro-F1 on the validation
-    (testing) split (reference: optimize_at_thresholds, §3.5)."""
+    """Per-class AT thresholds maximizing macro-F1 on the validation
+    (testing) split (reference: optimize_at_thresholds, §3.5). Macro-F1 is
+    separable per class, so the exact sorted-sweep optimum is used instead
+    of the reference's iterative search (same maximizer, no local optima —
+    autoth.exact_f1_thresholds)."""
     paths = _paths(args)
     create_folder(paths["opt_thresholds"])
     preds = _load_predictions(args, paths, "testing")
@@ -400,7 +403,8 @@ def do_optimize_at_thresholds(args) -> None:
     def score(thr):
         return tagging_metrics(clip, tgt, thr)["macro_f1"]
 
-    best, thr = autoth.optimize_thresholds(score, classes_num, init=0.3)
+    thr = autoth.exact_f1_thresholds(clip, tgt)
+    best = score(thr)
     out = os.path.join(paths["opt_thresholds"], "at.pickle")
     with open(out, "wb") as f:
         pickle.dump({"thresholds": thr, "score": best}, f)

@@ -69,13 +69,22 @@ class Predictor:
     def from_workspace(cls, workspace: str, model_type: str,
                        run_config: str, cfg: Config = DEFAULT,
                        iteration: Optional[int] = None,
-                       sed_params: Optional[dict] = None) -> "Predictor":
+                       sed_params: Optional[dict] = None,
+                       dtype=None) -> "Predictor":
         """Load the latest (or given-iteration) checkpoint of a training run.
 
         ``run_config`` is the reference-style path segment, e.g.
         ``"loss_type=clip_bce/augmentation=mixup/batch_size=32"``.
+        ``dtype`` sets the serving compute dtype (params stay f32 —
+        checkpoints interchange freely); defaults to bf16 on TPU, f32
+        elsewhere.
         """
-        model = get_model(model_type)
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else jnp.float32)
+        model = get_model(model_type, dtype=dtype)
         state, _ = train_lib.create_train_state(model, cfg)
         ckpt_dir = os.path.join(workspace, "checkpoints", "main",
                                 f"model_type={model_type}", run_config)

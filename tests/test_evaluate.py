@@ -78,6 +78,44 @@ class TestAutoth:
         best, thr = autoth.optimize_thresholds(score, 4, init=0.3)
         assert best >= base
 
+    def test_exact_f1_thresholds_dominates_ascent_and_bruteforce(self):
+        """The sorted-sweep optimum must match a dense brute-force grid and
+        never lose to the coordinate-ascent search."""
+        rng = np.random.RandomState(3)
+        target = (rng.rand(150, 5) < 0.3).astype(np.float32)
+        clip = np.clip(target * 0.5 + rng.rand(150, 5) * 0.5, 0, 1)
+
+        def score(thr):
+            return tagging_metrics(clip, target, thr)["macro_f1"]
+
+        exact_thr = autoth.exact_f1_thresholds(clip, target)
+        exact = score(exact_thr)
+
+        # brute force per class over a dense grid (macro-F1 is separable)
+        grid = np.linspace(1e-4, 1 - 1e-4, 4001)
+        brute_thr = np.zeros(5)
+        for k in range(5):
+            f1s = []
+            for t in grid:
+                pred = clip[:, k] >= t
+                tp = float((pred * target[:, k]).sum())
+                fp = float((pred * (1 - target[:, k])).sum())
+                fn = float(((~pred) * target[:, k]).sum())
+                f1s.append(2 * tp / max(2 * tp + fp + fn, 1e-12))
+            brute_thr[k] = grid[int(np.argmax(f1s))]
+        np.testing.assert_allclose(exact, score(brute_thr), atol=1e-9)
+
+        ascent, _ = autoth.optimize_thresholds(score, 5, init=0.3)
+        assert exact >= ascent - 1e-9
+
+    def test_exact_f1_thresholds_no_positives_class(self):
+        clip = np.random.RandomState(0).rand(20, 3).astype(np.float32)
+        target = np.zeros((20, 3), np.float32)
+        target[:5, 0] = 1
+        thr = autoth.exact_f1_thresholds(clip, target, default=0.42)
+        assert thr[1] == 0.42 and thr[2] == 0.42     # untouched
+        assert 0 < thr[0] < 1
+
     def test_sed_params_full_search(self):
         """optimize_sed_params searches per-class (high, low) pairs AND the
         discrete smoothing lengths (SURVEY.md §3.5 — round 1 tied
