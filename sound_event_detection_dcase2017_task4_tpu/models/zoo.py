@@ -205,6 +205,13 @@ MODEL_REGISTRY: dict[str, dict] = {
     # CNN-Transformer (companion-paper model; optional for parity)
     "Cnn_9layers_Transformer_FrameAvg": _cfg(seq="transformer", head="avg"),
     "Cnn_9layers_Transformer_FrameAtt": _cfg(seq="transformer", head="att"),
+    # alternative reference naming (SURVEY.md §2 lists both patterns with
+    # MED confidence — `Cnn_9layers_Frame{Max,Avg,Att}` aliases the plain
+    # 9-layer CNN with the same head, so either spelling of --model_type
+    # resolves)
+    "Cnn_9layers_FrameMax": _cfg(head="max"),
+    "Cnn_9layers_FrameAvg": _cfg(head="avg"),
+    "Cnn_9layers_FrameAtt": _cfg(head="att"),
 }
 
 
