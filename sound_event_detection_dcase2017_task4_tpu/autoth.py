@@ -112,6 +112,13 @@ def exact_f1_thresholds(clipwise: np.ndarray, target: np.ndarray,
         fp = np.cumsum(1.0 - y)
         fn = pos - tp
         f1 = 2 * tp / np.maximum(2 * tp + fp + fn, 1e-12)
+        # a threshold can only cut BETWEEN distinct scores: prefixes ending
+        # inside a tie group are unrealizable (pred = clipwise >= thr takes
+        # the whole group), so restrict the argmax to tie-group boundaries.
+        boundary = np.empty(n, bool)
+        boundary[:-1] = s[:-1] > s[1:]
+        boundary[-1] = True
+        f1 = np.where(boundary, f1, -1.0)
         j = int(np.argmax(f1))                 # include scores s[0..j]
         upper = s[j]                           # last included score
         lower = s[j + 1] if j + 1 < n else 0.0

@@ -43,6 +43,15 @@ from .parallel import (batch_sharding, make_mesh_for_batch,
 from .utils import StatisticsContainer, create_folder, create_logging
 
 
+def _holdout_fold(args) -> int | None:
+    """Parse ``--holdout_fold``: None / "none" / "" → disabled, else 1-based
+    fold number (single point of truth for the knob's spelling)."""
+    v = getattr(args, "holdout_fold", None)
+    if v is None or str(v).lower() in ("none", ""):
+        return None
+    return int(v)
+
+
 def _run_config(args) -> str:
     segments = [
         f"model_type={args.model_type}",
@@ -100,9 +109,9 @@ def _build(args, for_train: bool):
     # --holdout_fold=k: hold fold k of the training split out as the
     # validation set and train on the rest (reference train/validation fold
     # semantics; fold assignment documented in data.holdout_indices).
-    holdout = getattr(args, "holdout_fold", None)
-    if holdout is not None and str(holdout).lower() not in ("none", ""):
-        tr_idx, ho_idx = holdout_indices(len(train_reader), int(holdout))
+    holdout = _holdout_fold(args)
+    if holdout is not None:
+        tr_idx, ho_idx = holdout_indices(len(train_reader), holdout)
         test_reader = subset_reader(train_reader, ho_idx)
         train_reader = subset_reader(train_reader, tr_idx)
 
@@ -192,9 +201,7 @@ def do_train(args) -> None:
     # with --holdout_fold the validation set is a fold of the (weakly
     # labelled) training split — no strong labels exist for it, so
     # training-time SED metrics are skipped (AT metrics still run).
-    holdout = getattr(args, "holdout_fold", None)
-    test_gt = (None
-               if holdout is not None and str(holdout).lower() not in ("none", "")
+    test_gt = (None if _holdout_fold(args) is not None
                else _strong_labels(args, "testing"))
 
     it = int(jax.device_get(state.step))
@@ -265,11 +272,18 @@ def do_train(args) -> None:
         if args.check_numerics:
             bad = int(jax.device_get(metrics["nonfinite_count"]))
             if bad > 0:
-                checkpoints.save_checkpoint(
-                    paths["checkpoints"], state, it + 1)
+                # the update already applied the non-finite grads, so this
+                # state is poisoned — save it for debugging under a name
+                # latest_checkpoint()/--resume_iteration will never pick up
+                dump = os.path.join(paths["checkpoints"],
+                                    f"nonfinite_abort_{it}.ckpt.debug")
+                with open(dump, "wb") as f:
+                    from flax import serialization
+                    f.write(serialization.to_bytes(jax.device_get(state)))
                 raise FloatingPointError(
                     f"--check_numerics: {bad} non-finite loss/grad values "
-                    f"at iteration {it}; aborting (state saved)")
+                    f"at iteration {it}; aborting (poisoned state dumped "
+                    f"to {dump}; resume from the last regular checkpoint)")
         if it % 100 == 0:
             logger.info("iter %d loss %.4f", it,
                         float(jax.device_get(metrics["loss"])))

@@ -108,6 +108,28 @@ class TestAutoth:
         ascent, _ = autoth.optimize_thresholds(score, 5, init=0.3)
         assert exact >= ascent - 1e-9
 
+    def test_exact_f1_thresholds_tied_scores(self):
+        """A threshold can only cut between distinct scores: with ties, the
+        returned threshold must realize the best ACHIEVABLE F1 (prefixes
+        ending inside a tie group are unrealizable because `>= thr` takes
+        the whole group)."""
+        s = np.array([0.9, 0.9] + [0.8] * 9)
+        y = np.array([1, 1, 1] + [0] * 8, np.float32)
+        thr = autoth.exact_f1_thresholds(s[:, None], y[:, None])
+
+        def f1_at(t):
+            pred = s >= t
+            tp = float((pred * y).sum())
+            fp = float((pred * (1 - y)).sum())
+            fn = float(((~pred) * y).sum())
+            return 2 * tp / max(2 * tp + fp + fn, 1e-12)
+
+        # achievable optimum is thr in (0.8, 0.9]: F1 = 2*2/(2*2+0+1)=0.8;
+        # thr <= 0.8 includes the whole 0.8 tie group (F1 ≈ 0.545)
+        assert 0.8 < thr[0] <= 0.9
+        best = max(f1_at(t) for t in np.linspace(0.01, 0.99, 999))
+        np.testing.assert_allclose(f1_at(thr[0]), best, atol=1e-9)
+
     def test_exact_f1_thresholds_no_positives_class(self):
         clip = np.random.RandomState(0).rand(20, 3).astype(np.float32)
         target = np.zeros((20, 3), np.float32)

@@ -249,20 +249,27 @@ def stage_dataset(dataset_dir: str | None) -> list[dict]:
         return out
     meta = os.path.join(dataset_dir, "metadata")
     from sound_event_detection_dcase2017_task4_tpu import scoring
+    from sound_event_detection_dcase2017_task4_tpu.features import (
+        read_weak_metadata)
 
     for split, (lo, hi) in DCASE_SPLIT_SIZES.items():
         gt = os.path.join(meta,
                           f"groundtruth_strong_label_{split}_set.csv")
         weak = os.path.join(meta, f"{split}_set.csv")
-        path = gt if os.path.isfile(gt) else weak
+        # weak CSV (one line per clip) is authoritative for the clip count;
+        # the training split has no strong labels at all
+        path = weak if os.path.isfile(weak) else gt
         if not os.path.isfile(path):
             out.append(_result("dataset", "DIFF",
                                f"{split}: no metadata CSV under {meta}"))
             continue
         try:
-            events = scoring.read_ground_truth(path)
-            n = len(events)
-            ok = lo <= n <= hi or split == "training"
+            if path is weak:
+                names, _ = read_weak_metadata(path)
+                n = len(names)
+            else:
+                n = len(scoring.read_ground_truth(path))
+            ok = lo <= n <= hi
             out.append(_result(
                 "dataset", "OK" if ok else "DIFF",
                 f"{split}: {n} clips in {os.path.basename(path)} "
