@@ -2,14 +2,18 @@
 
 The reference loads audio with ``librosa.core.load(path, sr=32000, mono=True)``
 (SURVEY.md §3.1). Neither librosa nor soundfile exists in this image, so WAV
-decoding uses the stdlib ``wave`` module (PCM 8/16/24/32-bit + float32) and
-resampling uses ``scipy.signal.resample_poly`` (polyphase, the same method
-librosa's ``res_type='polyphase'`` uses). Non-WAV containers are out of
-scope — DCASE distributions ship WAV.
+decoding parses the RIFF container directly (PCM 8/16/24/32-bit, IEEE
+float32, and WAVE_FORMAT_EXTENSIBLE via the SubFormat GUID — the stdlib
+``wave`` module hides the format tag, which mis-decodes float32 as int32
+PCM) and resampling uses ``scipy.signal.resample_poly`` (polyphase, the
+same method librosa's ``res_type='polyphase'`` uses). Non-WAV containers
+are out of scope — DCASE distributions ship WAV. Mirrors
+``native/sedx_native.cc:parse_wav`` (the C++ fast path).
 """
 
 from __future__ import annotations
 
+import struct
 import wave
 from fractions import Fraction
 
@@ -19,20 +23,52 @@ from scipy import signal as sps
 __all__ = ["load_wav", "save_wav", "resample"]
 
 
+def _parse_riff(path: str) -> tuple[int, int, int, int, bytes]:
+    """→ (format_tag, channels, sample_rate, bits, data). format_tag is the
+    resolved code: 1 = PCM, 3 = IEEE float (EXTENSIBLE resolved via its
+    SubFormat GUID, as in the native parser)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file: {path}")
+    pos, fmt = 12, None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", buf, pos + 4)
+        if cid == b"fmt " and pos + 8 + 16 <= len(buf):
+            tag, ch, sr = struct.unpack_from("<HHI", buf, pos + 8)
+            (bits,) = struct.unpack_from("<H", buf, pos + 22)
+            if tag == 0xFFFE:
+                if sz >= 40 and pos + 8 + 26 <= len(buf):
+                    (tag,) = struct.unpack_from("<H", buf, pos + 32)
+                else:
+                    raise ValueError(
+                        f"truncated WAVE_FORMAT_EXTENSIBLE header: {path}")
+            fmt = (tag, ch, sr, bits)
+        elif cid == b"data":
+            data = buf[pos + 8 : pos + 8 + sz]
+            if fmt is not None:
+                break
+        pos += 8 + sz + (sz & 1)               # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError(f"missing fmt/data chunk: {path}")
+    return (*fmt, data)
+
+
 def load_wav(path: str, target_sr: int | None = None,
              mono: bool = True) -> tuple[np.ndarray, int]:
     """Read a WAV file → (float32 waveform in [-1, 1], sample_rate)."""
-    with wave.open(path, "rb") as w:
-        n_ch = w.getnchannels()
-        width = w.getsampwidth()
-        sr = w.getframerate()
-        raw = w.readframes(w.getnframes())
+    tag, n_ch, sr, bits, raw = _parse_riff(path)
+    width = bits // 8
+    n = len(raw) // max(width, 1) * width
+    raw = raw[:n]
 
-    if width == 2:
+    if tag == 3 and bits == 32:
+        x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
-        # could be int32 PCM or float32; WAVE_FORMAT tag isn't exposed by
-        # `wave`, so use the int32 convention (DCASE ships 16-bit anyway).
         x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0

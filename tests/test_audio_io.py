@@ -115,3 +115,36 @@ class TestWeakMetadataParsing:
         packed = read_split(f"{ws}/features/training.h5")
         assert names == packed.audio_names
         np.testing.assert_array_equal(targets, packed.target)
+
+
+def test_load_extensible_float_wav_python_path(tmp_path):
+    """The pure-Python loader must resolve WAVE_FORMAT_EXTENSIBLE float32
+    via the SubFormat GUID, same as the native parser."""
+    from test_native import _write_extensible_float_wav
+
+    rng = np.random.RandomState(5)
+    x = (rng.randn(4000) * 0.2).astype(np.float32)
+    path = str(tmp_path / "ext.wav")
+    _write_extensible_float_wav(path, x, 32000)
+    w, sr = audio_io.load_wav(path)
+    assert sr == 32000
+    np.testing.assert_allclose(w, x, atol=1e-7)
+
+
+def test_load_plain_float_wav_python_path(tmp_path):
+    """Plain (non-extensible) IEEE-float WAV decodes as float, not int32."""
+    import struct
+
+    rng = np.random.RandomState(6)
+    x = (rng.randn(1000) * 0.3).astype(np.float32)
+    data = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 16000 * 4, 4, 32)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    path = str(tmp_path / "f32.wav")
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+                + chunks)
+    w, sr = audio_io.load_wav(path)
+    assert sr == 16000
+    np.testing.assert_allclose(w, x, atol=1e-7)
