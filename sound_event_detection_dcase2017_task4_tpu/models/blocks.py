@@ -21,10 +21,43 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvBlock", "GLUBlock", "AttBlock", "BatchNorm", "avg_pool_2d",
-           "interpolate", "pad_framewise_output", "frames_after_pooling"]
+__all__ = ["ConvBlock", "GLUBlock", "AttBlock", "BatchNorm", "Dropout",
+           "avg_pool_2d", "interpolate", "pad_framewise_output",
+           "frames_after_pooling"]
 
 _glorot = nn.initializers.glorot_uniform()
+
+
+class Dropout(nn.Module):
+    """Dropout with 16-bit mask bits (TPU bandwidth optimization).
+
+    Same regularizer as ``flax.linen.Dropout`` but the keep mask compares
+    16-bit random integers instead of ``jax.random.bernoulli``'s 32-bit
+    draw — on the bench config the u32 mask tensors are ~1 GB/step of pure
+    HBM writes (rng-bit-generator ops in the device trace), and halving
+    them is worth ~0.6 ms/step. The keep probability is quantized to
+    1/65536 (e.g. 0.8 → 52429/65536 = 0.8000031); the inverse-scale uses
+    the *quantized* probability so E[dropout(x)] == x exactly.
+    """
+
+    rate: float
+    deterministic: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 deterministic: bool | None = None) -> jnp.ndarray:
+        det = self.deterministic if deterministic is None else deterministic
+        if det or self.rate == 0.0:
+            return x
+        threshold = int(round((1.0 - self.rate) * 65536))
+        assert 0 < threshold <= 65536, self.rate
+        if threshold == 65536:
+            return x
+        keep = threshold / 65536.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
+        mask = bits < jnp.uint16(threshold)
+        return jnp.where(mask, x / jnp.asarray(keep, x.dtype),
+                         jnp.zeros((), x.dtype))
 
 
 class BatchNorm(nn.Module):

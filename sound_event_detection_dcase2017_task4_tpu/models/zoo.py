@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import classes_num as _default_classes
-from .blocks import (AttBlock, ConvBlock, GLUBlock, interpolate,
-                     pad_framewise_output)
+from .blocks import (AttBlock, ConvBlock, Dropout, GLUBlock,
+                     interpolate, pad_framewise_output)
 
 __all__ = ["SedCnn", "MODEL_REGISTRY", "get_model"]
 
@@ -87,7 +87,7 @@ class TransformerEncoderLayer(nn.Module):
                      kernel_init=_glorot)(h)
         h = nn.gelu(h)
         h = nn.Dense(d, dtype=self.dtype, kernel_init=_glorot)(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = Dropout(self.dropout, deterministic=not train)(h)
         return x + h
 
 
@@ -132,7 +132,7 @@ class SedCnn(nn.Module):
             # checkpoints incompatible.
             x = block_cls(ch, pool=(2, 2), dtype=self.dtype,
                           name=f"block{i}")(x, train)
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            x = Dropout(self.dropout, deterministic=not train)(x)
 
         x = jnp.mean(x, axis=2)                               # freq mean [B,T',C]
 

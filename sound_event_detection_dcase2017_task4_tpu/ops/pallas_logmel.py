@@ -10,30 +10,31 @@ power spectrogram in HBM; this kernel keeps both in VMEM.
 Formulation (GEMM-native NDFT, cf. PAPERS.md "MelT"):
 
 * The centre-padded waveform is reshaped into non-overlapping *hop chunks*
-  ``[n_rows, hop]`` — a free reshape, no gather. Frame ``f`` (start sample
-  ``f*hop``) is exactly chunks ``f .. f+n_seg-1`` where
+  ``[n_rows, hop]`` — one relayout pass, no gather. Frame ``f`` (start
+  sample ``f*hop``) is exactly chunks ``f .. f+n_seg-1`` where
   ``n_seg = ceil(window / hop)`` (partial last segment zero-padded).
-* The windowed real-DFT basis is split into ``n_seg`` segment matrices
-  ``W_j[hop, n_freq]`` with the Hann window folded in, so for a block of
+* The windowed real-DFT basis is split into ``n_seg`` segment matrices with
+  the Hann window folded in, cos and sin CONCATENATED on the column axis
+  (one matmul instead of two — saves the lane-padding of two separate
+  513-column results, ~10% of the kernel's MXU work), so for a block of
   ``F`` frames::
 
-      Re = Σ_j  chunks[f0+j : f0+j+F, :] @ Wcos_j         (MXU matmuls)
-      Im = Σ_j  chunks[f0+j : f0+j+F, :] @ Wsin_j
-      logmel = log10-compress( (Re² + Im²) @ melW )
+      [Re | Im] = Σ_j  chunks[f0+j : f0+j+F, :] @ [Wcos_j | Wsin_j]
+      logmel    = log10-compress( (Re² + Im²) @ melW )
 
-* Each grid step fetches one *windowed* chunk block
-  ``[FRAME_BLOCK + n_seg, hop_pad]`` (3% row overlap between consecutive
-  blocks) and slices the ``n_seg`` shifted views **in VMEM**. Round 1
-  materialised a full ``n_seg``× lag stack in HBM instead; the device trace
-  showed that stack costing ~5 ms/step of pure HBM traffic (805 MB written
-  by ``pad_maximum_fusion`` + read back by ``slice_bitcast_fusion``) —
-  4× the waveform for a tensor the kernel reads once. The windowed layout
-  keeps every BlockSpec fetch aligned (rows padded to the 8-sublane tile)
-  while shipping each waveform byte to VMEM ~once.
+* The whole clip's chunk rows ride one BlockSpec block whose index map is
+  constant in the frame-block coordinate ``t`` — Pallas fetches it once
+  per clip and re-uses it across the inner ``t`` steps, so each waveform
+  byte is shipped to VMEM once and NOTHING else is staged in HBM. (Round 1
+  materialised an 805 MB lag stack; round 2a a windowed-chunk copy plus a
+  lane-padded block stack — the device trace showed those costing more
+  than the kernel itself: ~2.2 ms/step of pad/relayout/stack fusions
+  against the kernel's 2.9 ms.)
 
-Both the hop axis (320→384) and the frequency axis (513→640) are zero-padded
-to multiples of 128 lanes so every matmul and DMA tiles cleanly onto the
-128×128 MXU; padding rows/columns are zero in the bases, mathematically inert.
+Frequency columns are zero-padded to a multiple of the 128-lane tile and
+trimmed to the bins the mel filterbank actually reads (fmax < Nyquist drops
+a full tile); the hop axis rides unpadded (Mosaic masks the partial minor
+tile on loads).
 """
 
 from __future__ import annotations
@@ -61,48 +62,64 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.lru_cache(maxsize=4)
 def _plan(cfg: Config):
-    """Host-side constant folding: segment DFT matrices + padded mel matrix."""
+    """Host-side constant folding: concatenated [cos|sin] segment basis +
+    padded mel matrix."""
     hop, win = cfg.hop_size, cfg.window_size
-    hop_pad = _round_up(hop, 128)
+    # chunk rows ride with an UNPADDED minor dim: Mosaic masks the
+    # partial 128-lane tile on load, and the measured kernel time is
+    # identical to a lane-padded layout — while skipping the padded
+    # copy saves a full pass over the staged chunks (device trace:
+    # pad fusion 0.62 ms/step at bench shapes)
+    hop_pad = hop
     n_seg = math.ceil(win / hop)
     n_freq = win // 2 + 1
-    f_pad = _round_up(n_freq, 128)
-
-    cos_m, sin_m = dsp.dft_matrices(win, dtype=np.float32)   # [win, n_freq]
-    cos_seg = np.zeros((n_seg, hop_pad, f_pad), np.float32)
-    sin_seg = np.zeros((n_seg, hop_pad, f_pad), np.float32)
-    for j in range(n_seg):
-        lo, hi = j * hop, min((j + 1) * hop, win)
-        cos_seg[j, : hi - lo, :n_freq] = cos_m[lo:hi]
-        sin_seg[j, : hi - lo, :n_freq] = sin_m[lo:hi]
 
     mel = dsp.mel_filterbank(
         cfg.sample_rate, win, cfg.mel_bins, cfg.fmin, cfg.fmax, dtype=np.float32
     )                                                        # [n_freq, mel]
-    mel_pad = np.zeros((f_pad, cfg.mel_bins), np.float32)
-    mel_pad[:n_freq] = mel
-    return n_seg, hop_pad, f_pad, cos_seg, sin_seg, mel_pad
+    # Spectrum bins whose mel weights are all zero (above fmax / below
+    # fmin) cannot contribute to the output — drop them from the DFT basis
+    # entirely. At the DCASE config (fmax=14 kHz of a 16 kHz Nyquist) this
+    # trims 513 → ~450 bins, i.e. one full 128-lane tile of MXU work.
+    nz = np.nonzero(mel.any(axis=1))[0]
+    n_used = int(nz[-1]) + 1 if nz.size else n_freq
+    f_half = _round_up(n_used, 128)          # Re / Im column block
+
+    cos_m, sin_m = dsp.dft_matrices(win, dtype=np.float32)   # [win, n_freq]
+    basis = np.zeros((n_seg, hop_pad, 2 * f_half), np.float32)
+    for j in range(n_seg):
+        lo, hi = j * hop, min((j + 1) * hop, win)
+        basis[j, : hi - lo, :n_used] = cos_m[lo:hi, :n_used]
+        basis[j, : hi - lo, f_half : f_half + n_used] = sin_m[lo:hi, :n_used]
+
+    mel_pad = np.zeros((f_half, cfg.mel_bins), np.float32)
+    mel_pad[:n_used] = mel[:n_used]
+    return n_seg, hop_pad, f_half, basis, mel_pad
 
 
-def _kernel(blk_ref, cos_ref, sin_ref, mel_ref, out_ref, *,
-            n_seg: int, ref_db: float, amin: float, precision):
+def _kernel(blk_ref, basis_ref, mel_ref, out_ref, *,
+            n_seg: int, f_half: int, ref_db: float, amin: float, precision):
     # precision=HIGHEST: the MXU multiplies in bf16 by default; the DFT is
     # part of the bit-compat contract with the XLA reference path, so force
     # the multi-pass f32 formulation (bf16x3, ~3× flops) on the packing
     # path. Training can use the single-pass "fast" mode (~0.02 dB noise on
     # an input that is normalized right after — irrelevant to learning).
-    re = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
-    im = jnp.zeros((_FRAME_BLOCK, cos_ref.shape[-1]), jnp.float32)
+    t = pl.program_id(1)
+    # frame f needs chunk rows f..f+n_seg-1; the whole clip's rows are
+    # resident, so fetch the block's row window once (8-aligned dynamic
+    # start — Mosaic requires provable sublane alignment) and slice the
+    # n_seg shifted views statically (cheap sublane rolls).
+    sup_rows = _round_up(_FRAME_BLOCK + n_seg - 1, 8)
+    sup = blk_ref[0, pl.ds(t * _FRAME_BLOCK, sup_rows), :]
+    acc = jnp.zeros((_FRAME_BLOCK, 2 * f_half), jnp.float32)
     for j in range(n_seg):
-        # shifted view sliced in VMEM (static offset; Mosaic emits a cheap
-        # sublane roll for the off-tile starts)
-        seg = blk_ref[0, 0, j : j + _FRAME_BLOCK]            # [F, hop_pad]
-        re += jnp.dot(seg, cos_ref[j], preferred_element_type=jnp.float32,
-                      precision=precision)
-        im += jnp.dot(seg, sin_ref[j], preferred_element_type=jnp.float32,
-                      precision=precision)
+        seg = sup[j : j + _FRAME_BLOCK]
+        acc += jnp.dot(seg, basis_ref[j], preferred_element_type=jnp.float32,
+                       precision=precision)
 
-    power = re * re + im * im                                # [F, f_pad]
+    re = acc[:, :f_half]
+    im = acc[:, f_half:]
+    power = re * re + im * im                                # [F, f_half]
     mel = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
                   precision=precision)
     log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel)) - ref_db
@@ -125,37 +142,29 @@ def logmel_pallas(
     """
     assert waveform.ndim == 2, "expected [batch, samples]"
 
-    n_seg, hop_pad, f_pad, cos_seg, sin_seg, mel_pad = _plan(cfg)
+    n_seg, hop_pad, f_half, basis, mel_pad = _plan(cfg)
     hop, win = cfg.hop_size, cfg.window_size
     bsz, samples = waveform.shape
     n_frames = 1 + samples // hop
     n_blocks = pl.cdiv(n_frames, _FRAME_BLOCK)
     n_out = n_blocks * _FRAME_BLOCK
 
-    # Centre pad (librosa center=True), then zero-pad so every chunk row of
-    # every (overlapping) block exists.
-    rows_blk = _round_up(_FRAME_BLOCK + n_seg, 8)            # sublane-tiled
+    # Centre pad (librosa center=True), then zero-pad so chunk rows exist
+    # for every (padded) frame: the last block's 8-aligned superset window
+    # reads rows (n_blocks-1)*FB .. +roundup(FB+n_seg-1, 8)-1.
+    n_rows = (n_blocks - 1) * _FRAME_BLOCK + _round_up(
+        _FRAME_BLOCK + n_seg - 1, 8)
     pad = win // 2
     x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
                 mode=cfg.pad_mode)
-    n_rows = n_out + rows_blk
     x = jnp.pad(x, ((0, 0), (0, n_rows * hop - x.shape[-1])))
-    chunks = jnp.pad(                                        # lane-pad rows
-        x.reshape(bsz, n_rows, hop), ((0, 0), (0, 0), (0, hop_pad - hop))
-    )
-    # Windowed blocks: block t covers chunk rows [t*FB, t*FB + FB + n_seg)
-    # (frame f = rows f..f+n_seg-1). ~3% row overlap, built by one fused
-    # slice+stack — vs the round-1 n_seg× HBM lag stack (see module doc).
-    blocks = jnp.stack(
-        [jax.lax.dynamic_slice_in_dim(chunks, t * _FRAME_BLOCK, rows_blk,
-                                      axis=1) for t in range(n_blocks)],
-        axis=1)                                  # [B, n_blocks, rows_blk, hop_pad]
+    chunks = x.reshape(bsz, n_rows, hop)
 
     ref_db = float(10.0 * np.log10(max(cfg.log_amin, cfg.log_ref)))
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(
-        _kernel, n_seg=n_seg, ref_db=ref_db, amin=cfg.log_amin,
+        _kernel, n_seg=n_seg, f_half=f_half, ref_db=ref_db, amin=cfg.log_amin,
         precision=prec
     )
 
@@ -163,17 +172,15 @@ def logmel_pallas(
         kernel,
         grid=(bsz, n_blocks),
         in_specs=[
-            pl.BlockSpec(                                    # windowed chunks
-                (1, 1, rows_blk, hop_pad),
-                lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            # whole-clip chunk rows; constant in t → fetched once per clip
+            pl.BlockSpec(
+                (1, n_rows, hop_pad),
+                lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(                                    # resident consts
-                (n_seg, hop_pad, f_pad), lambda b, t: (0, 0, 0),
+                (n_seg, hop_pad, 2 * f_half), lambda b, t: (0, 0, 0),
                 memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (n_seg, hop_pad, f_pad), lambda b, t: (0, 0, 0),
-                memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (f_pad, cfg.mel_bins), lambda b, t: (0, 0),
+                (f_half, cfg.mel_bins), lambda b, t: (0, 0),
                 memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -182,13 +189,14 @@ def logmel_pallas(
         out_shape=jax.ShapeDtypeStruct(
             (bsz, n_out, cfg.mel_bins), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bsz * n_out * (2 * win + cfg.mel_bins) * f_pad,
-            bytes_accessed=bsz * (n_blocks * rows_blk * hop_pad
+            flops=2 * bsz * n_out * (n_seg * hop * 2 * f_half
+                                     + f_half * cfg.mel_bins),
+            bytes_accessed=bsz * (n_rows * hop_pad
                                   + n_out * cfg.mel_bins) * 4,
             transcendentals=bsz * n_out * cfg.mel_bins,
         ),
         interpret=interpret,
-    )(blocks, jnp.asarray(cos_seg), jnp.asarray(sin_seg), jnp.asarray(mel_pad))
+    )(chunks, jnp.asarray(basis), jnp.asarray(mel_pad))
 
     out = out[:, :n_frames, :]
     if cfg.log_top_db is not None:

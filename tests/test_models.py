@@ -173,3 +173,42 @@ def test_avg_pool_2d_matches_reduce_window():
         want = nn.avg_pool(x, (2, 2), strides=(2, 2))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6)
+
+
+def test_fast_dropout_semantics():
+    """models.blocks.Dropout: u16-bit masks, exact inverse-scale, eval
+    passthrough (the 16-bit draw halves the mask-RNG HBM traffic — see
+    RESULTS.md round-2b)."""
+    from sound_event_detection_dcase2017_task4_tpu.models.blocks import Dropout
+
+    x = jnp.ones((64, 1024), jnp.float32)
+    drop = Dropout(rate=0.2, deterministic=False)
+    y = drop.apply({}, x, rngs={"dropout": jax.random.PRNGKey(0)})
+    y = np.asarray(y)
+
+    # kept elements are scaled by exactly 1/keep_q with keep_q = 52429/65536
+    keep_q = round(0.8 * 65536) / 65536
+    kept = y[y != 0]
+    np.testing.assert_allclose(kept, 1.0 / keep_q, rtol=1e-6)
+    # empirical drop rate matches the quantized keep probability
+    frac = (y != 0).mean()
+    assert abs(frac - keep_q) < 0.01, frac
+    # E[dropout(x)] == x exactly in expectation: mean ≈ 1
+    assert abs(y.mean() - 1.0) < 0.01, y.mean()
+
+    # deterministic given the key
+    y2 = drop.apply({}, x, rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(y, np.asarray(y2))
+    y3 = drop.apply({}, x, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert (y != np.asarray(y3)).any()
+
+    # eval mode / rate 0: identity without consuming an rng
+    eval_out = Dropout(rate=0.2, deterministic=True).apply({}, x)
+    np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(x))
+    zero_out = Dropout(rate=0.0, deterministic=False).apply({}, x)
+    np.testing.assert_array_equal(np.asarray(zero_out), np.asarray(x))
+
+    # bf16 activations keep their dtype
+    yb = drop.apply({}, x.astype(jnp.bfloat16),
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+    assert yb.dtype == jnp.bfloat16
