@@ -53,7 +53,9 @@ from . import dsp
 
 __all__ = ["logmel_pallas"]
 
-_FRAME_BLOCK = 128  # frames per grid step (MXU sublane-friendly)
+_MAX_FRAME_BLOCK = 512   # frames per grid step: biggest matmul M that
+                         # still double-buffers comfortably in VMEM
+                         # (measured best of 128/256/512 on v5e)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -97,7 +99,7 @@ def _plan(cfg: Config):
     return n_seg, hop_pad, f_half, basis, mel_pad
 
 
-def _kernel(blk_ref, basis_ref, mel_ref, out_ref, *,
+def _kernel(blk_ref, basis_ref, mel_ref, out_ref, *, frame_block: int,
             n_seg: int, f_half: int, ref_db: float, amin: float, precision):
     # precision=HIGHEST: the MXU multiplies in bf16 by default; the DFT is
     # part of the bit-compat contract with the XLA reference path, so force
@@ -109,11 +111,11 @@ def _kernel(blk_ref, basis_ref, mel_ref, out_ref, *,
     # resident, so fetch the block's row window once (8-aligned dynamic
     # start — Mosaic requires provable sublane alignment) and slice the
     # n_seg shifted views statically (cheap sublane rolls).
-    sup_rows = _round_up(_FRAME_BLOCK + n_seg - 1, 8)
-    sup = blk_ref[0, pl.ds(t * _FRAME_BLOCK, sup_rows), :]
-    acc = jnp.zeros((_FRAME_BLOCK, 2 * f_half), jnp.float32)
+    sup_rows = _round_up(frame_block + n_seg - 1, 8)
+    sup = blk_ref[0, pl.ds(t * frame_block, sup_rows), :]
+    acc = jnp.zeros((frame_block, 2 * f_half), jnp.float32)
     for j in range(n_seg):
-        seg = sup[j : j + _FRAME_BLOCK]
+        seg = sup[j : j + frame_block]
         acc += jnp.dot(seg, basis_ref[j], preferred_element_type=jnp.float32,
                        precision=precision)
 
@@ -146,14 +148,15 @@ def logmel_pallas(
     hop, win = cfg.hop_size, cfg.window_size
     bsz, samples = waveform.shape
     n_frames = 1 + samples // hop
-    n_blocks = pl.cdiv(n_frames, _FRAME_BLOCK)
-    n_out = n_blocks * _FRAME_BLOCK
+    frame_block = min(_MAX_FRAME_BLOCK, _round_up(n_frames, 128))
+    n_blocks = pl.cdiv(n_frames, frame_block)
+    n_out = n_blocks * frame_block
 
     # Centre pad (librosa center=True), then zero-pad so chunk rows exist
     # for every (padded) frame: the last block's 8-aligned superset window
     # reads rows (n_blocks-1)*FB .. +roundup(FB+n_seg-1, 8)-1.
-    n_rows = (n_blocks - 1) * _FRAME_BLOCK + _round_up(
-        _FRAME_BLOCK + n_seg - 1, 8)
+    n_rows = (n_blocks - 1) * frame_block + _round_up(
+        frame_block + n_seg - 1, 8)
     pad = win // 2
     x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
                 mode=cfg.pad_mode)
@@ -164,8 +167,8 @@ def logmel_pallas(
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"
             else jax.lax.Precision.DEFAULT)
     kernel = functools.partial(
-        _kernel, n_seg=n_seg, f_half=f_half, ref_db=ref_db, amin=cfg.log_amin,
-        precision=prec
+        _kernel, frame_block=frame_block, n_seg=n_seg, f_half=f_half,
+        ref_db=ref_db, amin=cfg.log_amin, precision=prec
     )
 
     out = pl.pallas_call(
@@ -184,7 +187,7 @@ def logmel_pallas(
                 memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, _FRAME_BLOCK, cfg.mel_bins), lambda b, t: (b, t, 0),
+            (1, frame_block, cfg.mel_bins), lambda b, t: (b, t, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (bsz, n_out, cfg.mel_bins), jnp.float32),
