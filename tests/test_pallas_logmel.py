@@ -70,3 +70,26 @@ def test_pallas_generalizes_across_dsp_configs(win, hop, mel):
     np.testing.assert_allclose(out, ref, atol=1e-1, rtol=0)
     np.testing.assert_allclose(10.0 ** (out / 10.0), 10.0 ** (ref / 10.0),
                                rtol=2e-3, atol=1e-10)
+
+
+def test_pallas_bin_trim_is_exact_at_fmax_nyquist():
+    """The zero-mel-weight spectrum-bin trim must be output-exact even when
+    fmax == Nyquist (the top Slaney triangle's edge weight is zero, so the
+    Nyquist bin itself is legitimately dropped) and must match XLA."""
+    cfg = config.Config(clip_samples=16000, fmax=16000)
+    rng = np.random.RandomState(1)
+    x = (rng.randn(2, 16000) * 0.2).astype(np.float32)
+    ref = np.asarray(stft.logmel(x, cfg))
+    out = np.asarray(logmel_pallas(x, cfg, interpret=True))
+    np.testing.assert_allclose(10.0 ** (out / 10.0), 10.0 ** (ref / 10.0),
+                               rtol=2e-3, atol=1e-10)
+
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import _plan
+    f_half = _plan(cfg)[2]
+    n_freq = cfg.window_size // 2 + 1
+    # the zero-weight Nyquist bin is trimmed (512 kept of 513), which
+    # saves the full 128-lane tile the 513th bin would otherwise force
+    assert f_half == 512, f_half
+    assert n_freq == 513
+    # DEFAULT (fmax=14 kHz, ~450 live bins) lane-rounds to the same tile
+    assert _plan(config.DEFAULT)[2] == 512
