@@ -148,3 +148,88 @@ def test_load_plain_float_wav_python_path(tmp_path):
     w, sr = audio_io.load_wav(path)
     assert sr == 16000
     np.testing.assert_allclose(w, x, atol=1e-7)
+
+
+class TestMalformedAndExoticWavs:
+    """RIFF-parser robustness: clean errors for garbage, graceful handling
+    of legal-but-unusual containers (both the python path and, where
+    loadable, the native C++ parser — mirrors native/sedx_native.cc)."""
+
+    def _native(self):
+        from sound_event_detection_dcase2017_task4_tpu import native
+        return native if native.available() else None
+
+    def test_garbage_bytes_raise(self, tmp_path):
+        p = tmp_path / "junk.wav"
+        p.write_bytes(b"\x00\x01\x02" * 100)
+        with pytest.raises(ValueError):
+            audio_io.load_wav(str(p))
+        nat = self._native()
+        if nat is not None:
+            with pytest.raises(IOError):
+                nat.load_wav(str(p), 32000, 32000)
+
+    def test_riff_header_only_raises(self, tmp_path):
+        p = tmp_path / "empty.wav"
+        p.write_bytes(b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE")
+        with pytest.raises(ValueError):
+            audio_io.load_wav(str(p))
+
+    def test_truncated_data_chunk_loads_available_samples(self, tmp_path):
+        sr, n = 16000, 1000
+        x = (np.sin(np.linspace(0, 40, n)) * 0.5).astype(np.float32)
+        p = tmp_path / "trunc.wav"
+        audio_io.save_wav(str(p), x, sr)
+        full = p.read_bytes()
+        p.write_bytes(full[: len(full) - 800])      # chop 400 samples
+        y, got_sr = audio_io.load_wav(str(p))
+        assert got_sr == sr
+        assert len(y) == n - 400
+        np.testing.assert_allclose(y, x[: n - 400], atol=1e-4)
+
+    def test_fmt_chunk_after_data_chunk(self, tmp_path):
+        """Chunk order is not mandated by RIFF; fmt-after-data must parse."""
+        sr, n = 8000, 256
+        x = (np.cos(np.linspace(0, 10, n)) * 0.25).astype(np.float32)
+        pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+        import struct as st
+        fmt = st.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+        data = pcm.tobytes()
+        body = (b"data" + st.pack("<I", len(data)) + data
+                + b"fmt " + st.pack("<I", len(fmt)) + fmt)
+        p = tmp_path / "swapped.wav"
+        p.write_bytes(b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body)
+        y, got_sr = audio_io.load_wav(str(p))
+        assert got_sr == sr
+        np.testing.assert_allclose(y, x, atol=1e-4)
+
+    @pytest.mark.parametrize("bits", [8, 24, 32])
+    def test_pcm_widths(self, tmp_path, bits):
+        sr, n = 16000, 512
+        rng = np.random.RandomState(0)
+        x = np.clip(rng.randn(n) * 0.3, -0.99, 0.99).astype(np.float32)
+        import struct as st
+        if bits == 8:
+            data = (np.clip(np.round(x * 128.0), -128, 127) + 128
+                    ).astype(np.uint8).tobytes()
+        elif bits == 24:
+            v = np.clip(np.round(x * (1 << 23)), -(1 << 23),
+                        (1 << 23) - 1).astype(np.int32)
+            b = np.zeros((n, 3), np.uint8)
+            b[:, 0] = v & 0xFF
+            b[:, 1] = (v >> 8) & 0xFF
+            b[:, 2] = (v >> 16) & 0xFF
+            data = b.tobytes()
+        else:
+            v = np.clip(np.round(x * (1 << 31)), -(1 << 31),
+                        (1 << 31) - 1).astype("<i4")
+            data = v.tobytes()
+        fmt = st.pack("<HHIIHH", 1, 1, sr, sr * bits // 8, bits // 8, bits)
+        body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(data)) + data)
+        p = tmp_path / f"pcm{bits}.wav"
+        p.write_bytes(b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body)
+        y, got_sr = audio_io.load_wav(str(p))
+        assert got_sr == sr
+        tol = {8: 1e-2, 24: 1e-6, 32: 1e-7}[bits]
+        np.testing.assert_allclose(y, x, atol=tol)
