@@ -60,11 +60,19 @@ def load_wav(path: str, target_sr: int | None = None,
              mono: bool = True) -> tuple[np.ndarray, int]:
     """Read a WAV file → (float32 waveform in [-1, 1], sample_rate)."""
     tag, n_ch, sr, bits, raw = _parse_riff(path)
+    if tag not in (1, 3):
+        # mu-law (7), a-law (6), ADPCM (2/17), … — decoding these as PCM
+        # would silently produce garbage waveforms
+        raise ValueError(f"unsupported WAV format tag {tag} in {path} "
+                         "(only PCM and IEEE float are supported)")
+    if tag == 3 and bits != 32:
+        raise ValueError(f"unsupported IEEE-float width {bits} in {path}")
     width = bits // 8
-    n = len(raw) // max(width, 1) * width
-    raw = raw[:n]
+    frame = max(width * max(n_ch, 1), 1)       # trim to whole FRAMES so a
+    n = len(raw) // frame * frame              # truncated multichannel file
+    raw = raw[:n]                              # still reshapes cleanly
 
-    if tag == 3 and bits == 32:
+    if tag == 3:
         x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
     elif width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0

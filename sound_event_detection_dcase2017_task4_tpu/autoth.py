@@ -122,7 +122,10 @@ def exact_f1_thresholds(clipwise: np.ndarray, target: np.ndarray,
         j = int(np.argmax(f1))                 # include scores s[0..j]
         upper = s[j]                           # last included score
         lower = s[j + 1] if j + 1 < n else 0.0
-        out[k] = np.clip((upper + lower) / 2.0, 1e-6, 1.0 - 1e-6)
+        # floor at exactly 0.0: when the optimal prefix includes a zero-
+        # score tie group, only thr == 0 realizes it (pred = clipwise >=
+        # thr); any positive floor would exclude the group the sweep counted
+        out[k] = np.clip((upper + lower) / 2.0, 0.0, 1.0 - 1e-6)
     return out
 
 

@@ -210,23 +210,20 @@ class _IndexedView:
 def subset_reader(reader: SplitReader, indices) -> SplitReader:
     """A :class:`SplitReader`-shaped view of a row subset of ``reader``.
 
-    ``indices`` must be sorted ascending. In-memory arrays are materialized
-    (cheap — they're already in RAM); lazy h5py datasets get an
-    :class:`_IndexedView` so the subset stays lazy.
+    ``indices`` must be sorted ascending. The big per-clip arrays (feature,
+    waveform) are wrapped in :class:`_IndexedView` for BOTH the in-memory
+    and the lazy-h5py cases — with ``--holdout_fold`` two subsets of the
+    full training corpus coexist, and materialized copies would transiently
+    hold ~2× the corpus in RAM. Only the small ``target`` matrix is copied.
     """
     indices = np.asarray(indices)
     sub = SplitReader.__new__(SplitReader)
     sub._hf = None                         # base reader owns the file handle
     sub.audio_names = [reader.audio_names[i] for i in indices]
     sub.target = np.asarray(reader.target)[indices]
-    if isinstance(reader.feature, np.ndarray):
-        sub.feature = reader.feature[indices]
-        sub.waveform = (None if reader.waveform is None
-                        else np.asarray(reader.waveform)[indices])
-    else:
-        sub.feature = _IndexedView(reader.feature, indices)
-        sub.waveform = (None if reader.waveform is None
-                        else _IndexedView(reader.waveform, indices))
+    sub.feature = _IndexedView(reader.feature, indices)
+    sub.waveform = (None if reader.waveform is None
+                    else _IndexedView(reader.waveform, indices))
     return sub
 
 

@@ -59,8 +59,11 @@ def _run_config(args) -> str:
         f"augmentation={args.augmentation}",
         f"batch_size={args.batch_size}",
     ]
-    if getattr(args, "holdout_fold", None) is not None:
-        segments.insert(1, f"holdout_fold={args.holdout_fold}")
+    # keyed on the PARSED value so the disabled spellings ("none", "")
+    # land in the same workspace path as the omitted default
+    holdout = _holdout_fold(args)
+    if holdout is not None:
+        segments.insert(1, f"holdout_fold={holdout}")
     return os.path.join(*segments)
 
 
@@ -377,7 +380,17 @@ def do_calculate_metrics(args) -> None:
                   f"{at['f1'][k]:>7.4f} {at['precision'][k]:>7.4f} "
                   f"{at['recall'][k]:>7.4f}")
 
-    gt = _strong_labels(args, args.data_type)
+    # with --holdout_fold the testing/training predictions are clips of the
+    # weakly-labelled TRAINING split; the strong-label CSVs describe the
+    # real testing/evaluation files, so scoring them against each other
+    # would count every prediction as an insertion (the evaluation split is
+    # still the real one and scores normally)
+    holdout_weak = (_holdout_fold(args) is not None
+                    and args.data_type in ("testing", "training"))
+    gt = None if holdout_weak else _strong_labels(args, args.data_type)
+    if holdout_weak:
+        print(f"[{args.data_type}] SED scoring skipped: --holdout_fold "
+              "predictions are training-split clips with weak labels only")
     events = sed.frame_prediction_to_event_prediction(
         preds["framewise_output"], sed_thr, DEFAULT.frames_per_second, labels)
     est = {preds["audio_name"][i]: events[i]
@@ -433,6 +446,11 @@ def do_optimize_sed_thresholds(args) -> None:
     SURVEY.md §3.5; the paper's automatic threshold optimization)."""
     paths = _paths(args)
     create_folder(paths["opt_thresholds"])
+    if _holdout_fold(args) is not None:
+        raise ValueError(
+            "--holdout_fold runs validate on a fold of the weakly-labelled "
+            "training split — there are no strong labels to search SED "
+            "thresholds against (use the default testing-split validation)")
     preds = _load_predictions(args, paths, "testing")
     gt = _strong_labels(args, "testing")
     if gt is None:
@@ -448,6 +466,10 @@ def do_optimize_sed_thresholds(args) -> None:
 
     base_score = score(dict(sed.sed_params_dict))
     best, params = autoth.optimize_sed_params(score, classes_num)
+    if best < base_score:
+        # the search is seeded from its own grid, not from the defaults —
+        # never ship params that score worse than the defaults they replace
+        best, params = base_score, dict(sed.sed_params_dict)
     out = os.path.join(paths["opt_thresholds"], "sed.pickle")
     with open(out, "wb") as f:
         pickle.dump({"sed_params": params, "score": best}, f)

@@ -50,9 +50,11 @@ class Dropout(nn.Module):
         if det or self.rate == 0.0:
             return x
         threshold = int(round((1.0 - self.rate) * 65536))
-        assert 0 < threshold <= 65536, self.rate
+        assert 0 <= threshold <= 65536, self.rate
         if threshold == 65536:
             return x
+        if threshold == 0:                     # rate ≈ 1.0: drop everything
+            return jnp.zeros_like(x)           # (flax.linen.Dropout parity)
         keep = threshold / 65536.0
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint16)
         mask = bits < jnp.uint16(threshold)

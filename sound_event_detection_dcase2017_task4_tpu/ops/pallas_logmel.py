@@ -155,9 +155,13 @@ def logmel_pallas(
     # Centre pad (librosa center=True), then zero-pad so chunk rows exist
     # for every (padded) frame: the last block's 8-aligned superset window
     # reads rows (n_blocks-1)*FB .. +roundup(FB+n_seg-1, 8)-1.
+    pad = win // 2
     n_rows = (n_blocks - 1) * frame_block + _round_up(
         frame_block + n_seg - 1, 8)
-    pad = win // 2
+    # the rows must also cover the whole centre-padded signal (for configs
+    # where samples % hop exceeds the superset window's slack, the formula
+    # above can land one row short and the zero-pad below would go negative)
+    n_rows = max(n_rows, -(-(samples + 2 * pad) // hop))
     x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
                 mode=cfg.pad_mode)
     x = jnp.pad(x, ((0, 0), (0, n_rows * hop - x.shape[-1])))

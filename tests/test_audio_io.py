@@ -233,3 +233,37 @@ class TestMalformedAndExoticWavs:
         assert got_sr == sr
         tol = {8: 1e-2, 24: 1e-6, 32: 1e-7}[bits]
         np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_compressed_wav_tags_rejected(tmp_path):
+    """mu-law/a-law/ADPCM must raise, not silently decode as PCM garbage."""
+    import struct as st
+    for tag in (2, 6, 7, 17):
+        fmt = st.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        data = bytes(range(64))
+        body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(data)) + data)
+        p = tmp_path / f"tag{tag}.wav"
+        p.write_bytes(b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body)
+        with pytest.raises(ValueError, match="format tag"):
+            audio_io.load_wav(str(p))
+
+
+def test_truncated_stereo_trims_to_whole_frames(tmp_path):
+    """A stereo file cut mid-frame must trim to whole frames (the reshape
+    to [n, channels] used to crash on an odd sample count)."""
+    import struct as st
+    sr, n = 8000, 100
+    rng = np.random.RandomState(0)
+    x = np.clip(rng.randn(n, 2) * 0.3, -0.99, 0.99).astype(np.float32)
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    fmt = st.pack("<HHIIHH", 1, 2, sr, sr * 4, 4, 16)
+    data = pcm.tobytes()[:-2]                  # chop one int16: half a frame
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    p = tmp_path / "stereo_trunc.wav"
+    p.write_bytes(b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body)
+    y, got_sr = audio_io.load_wav(str(p))      # mono mean of both channels
+    assert got_sr == sr
+    assert len(y) == n - 1
+    np.testing.assert_allclose(y, x[: n - 1].mean(axis=1), atol=1e-4)

@@ -195,3 +195,20 @@ def test_run_config_with_holdout_fold():
     assert _run_config(args) == (
         "model_type=M/holdout_fold=1/loss_type=clip_bce/"
         "augmentation=mixup/batch_size=32")
+
+
+def test_run_config_disabled_holdout_spellings_share_path():
+    """--holdout_fold none/'' must land in the same workspace path as the
+    omitted default (the run-config segment keys on the PARSED value)."""
+    import argparse
+
+    from sound_event_detection_dcase2017_task4_tpu.main import _run_config
+
+    base = dict(model_type="m", loss_type="l", augmentation="a",
+                batch_size=8)
+    default = _run_config(argparse.Namespace(**base, holdout_fold=None))
+    for spelling in ("none", "None", ""):
+        assert _run_config(
+            argparse.Namespace(**base, holdout_fold=spelling)) == default
+    assert "holdout_fold=2" in _run_config(
+        argparse.Namespace(**base, holdout_fold="2"))

@@ -212,3 +212,13 @@ def test_fast_dropout_semantics():
     yb = drop.apply({}, x.astype(jnp.bfloat16),
                     rngs={"dropout": jax.random.PRNGKey(0)})
     assert yb.dtype == jnp.bfloat16
+
+
+def test_fast_dropout_rate_one_drops_everything():
+    """flax.linen.Dropout parity at the rate=1.0 edge (used to assert)."""
+    from sound_event_detection_dcase2017_task4_tpu.models.blocks import Dropout
+
+    x = jnp.ones((4, 8), jnp.float32)
+    y = Dropout(rate=1.0, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(np.asarray(y), np.zeros_like(x))

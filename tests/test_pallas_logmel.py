@@ -93,3 +93,17 @@ def test_pallas_bin_trim_is_exact_at_fmax_nyquist():
     assert n_freq == 513
     # DEFAULT (fmax=14 kHz, ~450 live bins) lane-rounds to the same tile
     assert _plan(config.DEFAULT)[2] == 512
+
+
+def test_pallas_rows_cover_non_hop_multiple_clips():
+    """Regression: a clip length that is not a hop multiple combined with
+    an 8-aligned superset window used to leave n_rows one chunk-row short
+    of the centre-padded signal (negative jnp.pad width → crash)."""
+    cfg = config.Config(clip_samples=16257, window_size=1152, hop_size=128,
+                        fmax=15000)
+    x = (np.random.RandomState(0).randn(1, 16257) * 0.2).astype(np.float32)
+    out = np.asarray(logmel_pallas(x, cfg, interpret=True))
+    ref = np.asarray(stft.logmel(x, cfg))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(10.0 ** (out / 10.0), 10.0 ** (ref / 10.0),
+                               rtol=2e-3, atol=1e-10)
