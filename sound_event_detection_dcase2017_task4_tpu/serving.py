@@ -110,3 +110,72 @@ class Predictor:
         out = self(waveform)
         return sed.events_from_binary(
             out["event_activity"], self.cfg.frames_per_second, self.labels)
+
+    def predict_long(self, waveform: np.ndarray,
+                     hop_seconds: Optional[float] = None,
+                     max_batch: int = 16) -> Dict[str, np.ndarray]:
+        """SED over ONE recording of arbitrary length (continuous audio).
+
+        The model's input shape is fixed at ``cfg.clip_samples`` (10 s), so
+        the recording is cut into overlapping windows (default hop: half a
+        window), windows are batched through the same compiled predict
+        program (zero-padded to ``max_batch`` — one compiled shape total),
+        and the framewise probabilities are stitched back onto the
+        recording's absolute frame timeline by averaging where windows
+        overlap. Events that span window boundaries therefore decode ONCE,
+        on the stitched timeline, instead of being cut at every boundary.
+
+        Returns ``{"framewise_output": [T_total, C], "events":
+        [(onset_s, offset_s, label)]}`` with absolute times.
+        """
+        cfg = self.cfg
+        x = np.asarray(waveform, np.float32)
+        assert x.ndim == 1, "predict_long takes one recording [samples]"
+        window = cfg.clip_samples
+        if hop_seconds is None:
+            hop_samples = window // 2
+        else:
+            hop_samples = int(round(hop_seconds * cfg.sample_rate))
+        # window starts must land on feature-frame boundaries so the
+        # per-window frame grids align with the recording's frame grid
+        hop_samples = max(cfg.hop_size,
+                          hop_samples // cfg.hop_size * cfg.hop_size)
+
+        total = len(x)
+        n_win = max(1, -(-(max(total - window, 0)) // hop_samples) + 1)
+        padded = np.zeros((n_win - 1) * hop_samples + window, np.float32)
+        padded[:total] = x
+        starts = [w * hop_samples for w in range(n_win)]
+        windows = np.stack([padded[s : s + window] for s in starts])
+
+        frames_win = cfg.frames_num
+        total_frames = 1 + total // cfg.hop_size
+        acc = np.zeros((starts[-1] // cfg.hop_size + frames_win,
+                        len(self.labels)), np.float64)
+        cnt = np.zeros((acc.shape[0], 1), np.float64)
+        for lo in range(0, n_win, max_batch):
+            batch = windows[lo : lo + max_batch]
+            n = len(batch)
+            if n < max_batch:                      # keep one compiled shape
+                batch = np.concatenate(
+                    [batch, np.zeros((max_batch - n, window), np.float32)])
+            _, frame, _ = self._predict(self._state, batch)
+            frame = np.asarray(frame)[:n]
+            for i in range(n):
+                f0 = starts[lo + i] // cfg.hop_size
+                acc[f0 : f0 + frames_win] += frame[i]
+                cnt[f0 : f0 + frames_win] += 1.0
+        framewise = (acc / np.maximum(cnt, 1.0))[:total_frames].astype(
+            np.float32)
+
+        events = sed.frame_prediction_to_event_prediction(
+            framewise[None], self.sed_params, cfg.frames_per_second,
+            self.labels)[0]
+        return {"framewise_output": framewise, "events": events}
+
+    def detect_events_long(self, waveform: np.ndarray,
+                           hop_seconds: Optional[float] = None
+                           ) -> List[tuple]:
+        """``[samples] → [(onset_s, offset_s, label)]`` for one recording of
+        any length (see :meth:`predict_long`)."""
+        return self.predict_long(waveform, hop_seconds)["events"]

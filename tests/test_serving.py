@@ -47,3 +47,57 @@ def test_from_workspace_missing_checkpoint(tmp_path):
         serving.Predictor.from_workspace(
             str(tmp_path), "Cnn_9layers_AttPooling",
             "loss_type=clip_bce/augmentation=none/batch_size=32")
+
+
+class TestPredictLong:
+    """Sliding-window inference over one arbitrary-length recording
+    (Predictor.predict_long / detect_events_long)."""
+
+    def test_single_window_matches_plain_predict(self, predictor):
+        cfg = predictor.cfg
+        rng = np.random.RandomState(0)
+        x = (rng.randn(cfg.clip_samples) * 0.1).astype(np.float32)
+        long_out = predictor.predict_long(x)
+        plain = predictor(x[None])
+        frames = long_out["framewise_output"].shape[0]
+        np.testing.assert_allclose(
+            long_out["framewise_output"],
+            plain["framewise_output"][0, :frames], atol=1e-6)
+
+    def test_stitched_timeline_and_absolute_times(self, predictor):
+        cfg = predictor.cfg
+        rng = np.random.RandomState(1)
+        seconds = 2.6 * cfg.clip_samples / cfg.sample_rate
+        n = int(seconds * cfg.sample_rate)
+        x = (rng.randn(n) * 0.1).astype(np.float32)
+        out = predictor.predict_long(x)
+        assert out["framewise_output"].shape == (1 + n // cfg.hop_size, 17)
+        assert np.isfinite(out["framewise_output"]).all()
+        # probabilities: in [0, 1] after overlap averaging
+        assert out["framewise_output"].min() >= 0.0
+        assert out["framewise_output"].max() <= 1.0
+        for onset, offset, label in out["events"]:
+            assert 0.0 <= onset < offset <= seconds + 1.0 / cfg.frames_per_second
+            assert isinstance(label, str)
+
+    def test_shorter_than_one_window(self, predictor):
+        cfg = predictor.cfg
+        x = np.zeros(cfg.clip_samples // 3, np.float32)
+        out = predictor.predict_long(x)
+        assert out["framewise_output"].shape[0] == 1 + len(x) // cfg.hop_size
+
+    def test_overlap_averaging_is_translation_consistent(self, predictor):
+        """A window-aligned hop must reproduce each window's own framewise
+        output outside overlap regions (stitching uses absolute frames)."""
+        cfg = predictor.cfg
+        rng = np.random.RandomState(2)
+        x = (rng.randn(2 * cfg.clip_samples) * 0.1).astype(np.float32)
+        # hop == window: no overlap at all → exact concatenation
+        out = predictor.predict_long(
+            x, hop_seconds=cfg.clip_samples / cfg.sample_rate)
+        plain = predictor(np.stack([x[: cfg.clip_samples],
+                                    x[cfg.clip_samples :]]))
+        w_frames = cfg.frames_num
+        np.testing.assert_allclose(
+            out["framewise_output"][: w_frames - 1],
+            plain["framewise_output"][0, : w_frames - 1], atol=1e-6)
