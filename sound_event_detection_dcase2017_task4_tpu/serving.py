@@ -95,6 +95,17 @@ class Predictor:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
         state = checkpoints.load_checkpoint(path, state)
         scalar = load_scalar(os.path.join(workspace, "scalars", "training.h5"))
+        if sed_params is None:
+            # pick up the run's tuned decode params when the
+            # optimize_sed_thresholds stage has produced them
+            opt = os.path.join(workspace, "opt_thresholds", "main",
+                               f"model_type={model_type}", run_config,
+                               "sed.pickle")
+            if os.path.isfile(opt):
+                import pickle
+
+                with open(opt, "rb") as f:
+                    sed_params = pickle.load(f)["sed_params"]
         return cls(model, state, cfg, scalar=scalar, sed_params=sed_params)
 
     def __call__(self, waveform: np.ndarray) -> Dict[str, np.ndarray]:

@@ -101,3 +101,53 @@ class TestPredictLong:
         np.testing.assert_allclose(
             out["framewise_output"][: w_frames - 1],
             plain["framewise_output"][0, : w_frames - 1], atol=1e-6)
+
+
+def test_from_workspace_loads_tuned_sed_params(tmp_path):
+    """from_workspace must pick up optimize_sed_thresholds' pickled params
+    (per-class threshold arrays) and decode with them."""
+    import os
+    import pickle
+
+    import h5py
+
+    from sound_event_detection_dcase2017_task4_tpu import checkpoints
+
+    cfg = Config(clip_samples=16000)
+    model = SedCnn(classes_num=17, channels=(8, 16), head="att")
+    state, _ = train.create_train_state(model, cfg)
+
+    model_type, run_config = "TinyTest", "loss_type=clip_bce/batch_size=8"
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "checkpoints", "main",
+                            f"model_type={model_type}", run_config)
+    os.makedirs(ckpt_dir)
+    checkpoints.save_checkpoint(ckpt_dir, state, 7)
+    os.makedirs(os.path.join(ws, "scalars"))
+    with h5py.File(os.path.join(ws, "scalars", "training.h5"), "w") as hf:
+        hf["mean"] = np.zeros(cfg.mel_bins, np.float32)
+        hf["std"] = np.ones(cfg.mel_bins, np.float32)
+    opt_dir = os.path.join(ws, "opt_thresholds", "main",
+                           f"model_type={model_type}", run_config)
+    os.makedirs(opt_dir)
+    tuned = {"sed_high_threshold": np.linspace(0.3, 0.7, 17),
+             "sed_low_threshold": np.linspace(0.15, 0.35, 17),
+             "n_smooth": 5, "n_salt": 3}
+    with open(os.path.join(opt_dir, "sed.pickle"), "wb") as f:
+        pickle.dump({"sed_params": tuned, "score": 0.9}, f)
+
+    import sound_event_detection_dcase2017_task4_tpu.models as _m
+    _m.MODEL_REGISTRY.setdefault("TinyTest",
+                                 dict(channels=(8, 16), head="att"))
+    try:
+        pred = serving.Predictor.from_workspace(ws, model_type, run_config,
+                                                cfg=cfg)
+    finally:
+        _m.MODEL_REGISTRY.pop("TinyTest", None)
+    np.testing.assert_allclose(pred.sed_params["sed_high_threshold"],
+                               tuned["sed_high_threshold"])
+    assert pred.sed_params["n_salt"] == 3
+    # per-class threshold arrays flow through the jitted on-device decode
+    x = np.random.RandomState(0).randn(2, cfg.clip_samples).astype(np.float32)
+    events = pred.detect_events(x)
+    assert len(events) == 2
