@@ -532,7 +532,9 @@ def main(argv=None) -> None:
     pt.add_argument("--profile_start", type=int, default=10)
     pt.set_defaults(func=do_train)
 
-    pi = sub.add_parser("inference")
+    # "inference_prob" alias: SURVEY.md §3.3 reconstructs the reference's
+    # subcommand name with MED confidence — accept both spellings
+    pi = sub.add_parser("inference", aliases=["inference_prob"])
     _add_common(pi)
     pi.add_argument("--data_type", default="testing",
                     choices=["training", "testing", "evaluation"])
