@@ -37,7 +37,10 @@ class Dropout(nn.Module):
     HBM writes (rng-bit-generator ops in the device trace), and halving
     them is worth ~0.6 ms/step. The keep probability is quantized to
     1/65536 (e.g. 0.8 → 52429/65536 = 0.8000031); the inverse-scale uses
-    the *quantized* probability so E[dropout(x)] == x exactly.
+    the *quantized* probability so E[dropout(x)] == x exactly in f32.
+    (In bf16 the division ``x / keep`` rounds ``keep`` to bf16 first —
+    the same systematic rounding ``flax.linen.Dropout`` has; not worth an
+    extra f32 upcast in the hot path.)
     """
 
     rate: float

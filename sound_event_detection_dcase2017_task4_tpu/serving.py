@@ -97,15 +97,30 @@ class Predictor:
         scalar = load_scalar(os.path.join(workspace, "scalars", "training.h5"))
         if sed_params is None:
             # pick up the run's tuned decode params when the
-            # optimize_sed_thresholds stage has produced them
+            # optimize_sed_thresholds stage has produced them — but only for
+            # the latest checkpoint: params are tuned against the newest
+            # snapshot's predictions, so applying them to an explicitly
+            # pinned older iteration would silently mix model generations
+            import logging
+
+            log = logging.getLogger(__name__)
             opt = os.path.join(workspace, "opt_thresholds", "main",
                                f"model_type={model_type}", run_config,
                                "sed.pickle")
             if os.path.isfile(opt):
-                import pickle
+                if iteration is not None:
+                    log.warning(
+                        "serving: NOT auto-loading %s — iteration=%d is "
+                        "explicitly pinned and the tuned decode params "
+                        "belong to the latest checkpoint; pass sed_params= "
+                        "to apply them anyway", opt, iteration)
+                else:
+                    import pickle
 
-                with open(opt, "rb") as f:
-                    sed_params = pickle.load(f)["sed_params"]
+                    with open(opt, "rb") as f:
+                        sed_params = pickle.load(f)["sed_params"]
+                    log.info("serving: applied tuned SED decode params "
+                             "from %s", opt)
         return cls(model, state, cfg, scalar=scalar, sed_params=sed_params)
 
     def __call__(self, waveform: np.ndarray) -> Dict[str, np.ndarray]:
@@ -147,6 +162,15 @@ class Predictor:
             hop_samples = window // 2
         else:
             hop_samples = int(round(hop_seconds * cfg.sample_rate))
+        if hop_samples > window:
+            # hops beyond the window length would leave spans no window
+            # covers (cnt == 0 there), which the averaging would silently
+            # render as all-zero probabilities — reject instead of
+            # suppressing events in the gaps
+            raise ValueError(
+                f"hop_seconds={hop_seconds} exceeds the model window "
+                f"({window / cfg.sample_rate:.1f} s); frames between "
+                "windows would be uncovered")
         # window starts must land on feature-frame boundaries so the
         # per-window frame grids align with the recording's frame grid
         hop_samples = max(cfg.hop_size,

@@ -18,19 +18,26 @@ from sound_event_detection_dcase2017_task4_tpu.ops.stft import make_logmel_fn
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 
-def _run_pipeline():
+def _run_pipeline(deterministic: bool = False):
+    """``deterministic=True`` disables every RNG consumer (dropout off,
+    mixup off): that golden is invariant to RNG-stream rework (e.g. the
+    round-2 u16 Dropout change regenerated the stochastic golden, which made
+    it blind to numerical regressions landed in the same change — this one
+    stays comparable across such edits)."""
     cfg = Config(clip_samples=32000)
     clips = make_synthetic_dataset(8, cfg, seed=123)
     waves = np.stack([c.waveform for c in clips])
     targets = np.stack([c.weak_target for c in clips])
 
     model = SedCnn(classes_num=17, channels=(8, 16), head="att", seq="gru",
-                   gru_hidden=16)
+                   gru_hidden=16,
+                   dropout=0.0 if deterministic else 0.2)
     frontend = make_logmel_fn(cfg)
     state, tx = train.create_train_state(
         model, cfg, example_frames=cfg.frames_num, seed=42)
     step = train.make_train_step(model, tx, frontend=frontend,
-                                 mixup_alpha=1.0, donate_state=False)
+                                 mixup_alpha=0.0 if deterministic else 1.0,
+                                 donate_state=False)
     for _ in range(5):
         state, m = step(state, waves, targets)
     eval_step = train.make_eval_step(model, frontend=frontend)
@@ -59,3 +66,28 @@ def test_e2e_matches_goldens():
     with open(os.path.join(GOLDEN_DIR, "e2e_fixed_seed_events.txt")) as f:
         golden_lines = [ln.rstrip("\n") for ln in f if ln.strip()]
     assert lines == golden_lines
+
+
+def test_e2e_deterministic_matches_goldens():
+    """RNG-free pipeline golden (no dropout, no mixup) — survives RNG-stream
+    rework, so it isolates pure-numerics regressions from intended RNG
+    changes (advisor round-2 finding on golden regeneration)."""
+    golden = np.load(os.path.join(GOLDEN_DIR, "e2e_deterministic.npz"))
+    clip, frame, events, loss = _run_pipeline(deterministic=True)
+
+    np.testing.assert_allclose(loss, float(golden["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(clip, golden["clipwise"], atol=1e-4)
+    np.testing.assert_allclose(frame[:, ::100, :], golden["framewise_sample"],
+                               atol=1e-4)
+
+
+if __name__ == "__main__":                       # golden regeneration
+    import sys
+
+    assert sys.argv[1:] == ["--regen-deterministic"], (
+        "usage: python tests/test_golden_e2e.py --regen-deterministic "
+        "(run under the test env: JAX_PLATFORMS=cpu)")
+    clip, frame, events, loss = _run_pipeline(deterministic=True)
+    np.savez(os.path.join(GOLDEN_DIR, "e2e_deterministic.npz"),
+             loss=loss, clipwise=clip, framewise_sample=frame[:, ::100, :])
+    print("wrote e2e_deterministic.npz  loss=%.6f" % loss)
