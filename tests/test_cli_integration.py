@@ -212,3 +212,42 @@ def test_run_config_disabled_holdout_spellings_share_path():
             argparse.Namespace(**base, holdout_fold=spelling)) == default
     assert "holdout_fold=2" in _run_config(
         argparse.Namespace(**base, holdout_fold="2"))
+
+
+def test_inference_does_not_materialize_training_features(workspace):
+    """Inference-only paths on testing/evaluation never touch the training
+    features — the reader must stay lazy (h5py-backed, no RAM copy), so the
+    startup cost of `inference --data_type=testing` is independent of the
+    training-split size (round-2 verdict: ~13 GB / minutes on the real
+    51k-clip corpus just to score 488 clips)."""
+    import argparse
+
+    import h5py
+    import numpy as np
+
+    def build_args(**over):
+        base = dict(workspace=workspace, model_type="Cnn_5layers_AvgPooling",
+                    loss_type="clip_bce", augmentation="none", batch_size=4,
+                    learning_rate=1e-3, seed=1, holdout_fold=None,
+                    feature_source="logmel", no_pallas=True)
+        base.update(over)
+        return argparse.Namespace(**base)
+
+    ctx = main._build(build_args(data_type="testing"), for_train=False)
+    tr = ctx["train_reader"]
+    assert isinstance(tr.feature, h5py.Dataset), (
+        "training features were materialized into RAM on an "
+        "inference-only path")
+    assert tr._hf is not None                     # file kept open, lazy
+    # metadata is still available (targets/names are needed for nothing
+    # here, but the reader contract holds)
+    assert len(tr) == 12 and tr.target.shape == (12, 17)
+
+    # paths that DO read training data still load it into RAM by default
+    for over in (dict(data_type="training"), dict(data_type="testing",
+                                                  holdout_fold=1)):
+        ctx = main._build(build_args(**over), for_train=False)
+        feat = ctx["train_reader"].feature
+        # holdout wraps the base reader's ndarray in an _IndexedView
+        base = getattr(feat, "_ds", feat)
+        assert isinstance(base, np.ndarray)
