@@ -159,7 +159,8 @@ def pack_synthetic(args) -> None:
     dataset_dir = os.path.join(args.workspace, "synth_dataset")
 
     for data_type, (n, seed) in splits.items():
-        clips = make_synthetic_dataset(n, cfg, seed=seed)
+        clips = make_synthetic_dataset(n, cfg, seed=seed,
+                                       profile=args.profile)
         audio_dir = os.path.join(dataset_dir, "audio", data_type)
         meta_dir = os.path.join(dataset_dir, "metadata")
         create_folder(audio_dir)
@@ -223,6 +224,11 @@ def main(argv=None) -> None:
     py.add_argument("--num_test", type=int, default=40)
     py.add_argument("--num_eval", type=int, default=40)
     py.add_argument("--clip_seconds", type=float, default=None)
+    py.add_argument("--profile", default="easy", choices=["easy", "hard"],
+                    help="'easy' saturates quickly (smoke tests); 'hard' is "
+                         "the discriminative benchmark — confusable class "
+                         "families, overlapping events, -5..20 dB SNR, "
+                         "unlabeled distractors, class imbalance")
     py.add_argument("--use_pallas", action="store_true")
     py.add_argument("--metadata_only", action="store_true",
                     help="skip writing WAV files (features only)")

@@ -246,16 +246,23 @@ def do_train(args) -> None:
                 at = res["at"]
                 msg = (f"iter {it} [{split}] mAP={at['mAP']:.4f} "
                        f"macroF1={at['macro_f1']:.4f}")
-                stats = {"at": {k: at[k] for k in
-                                ("mAP", "macro_f1", "macro_precision",
-                                 "macro_recall")}}
+                # persist the COMPLETE metric dicts (per-class AP/AUC/P/R/F1
+                # arrays included) — the reference pickles the Evaluator's
+                # full {at_metrics, sed_metrics} (SURVEY.md §2 "Statistics
+                # container"); round 2 stored only 4 headline numbers, which
+                # made per-class training curves unrecoverable
+                stats = {"at": dict(at)}
                 if "sed" in res:
                     ov = res["sed"]["overall"]
                     msg += (f" segF1={ov['f_measure']['f_measure']:.4f} "
                             f"ER={ov['error_rate']['error_rate']:.4f}")
                     stats["sed"] = {
+                        # headline keys stay at the top level (existing
+                        # plots/tools read sed.f_measure / sed.error_rate)
                         "f_measure": ov["f_measure"]["f_measure"],
-                        "error_rate": ov["error_rate"]["error_rate"]}
+                        "error_rate": ov["error_rate"]["error_rate"],
+                        **{k: res["sed"][k] for k in
+                           ("overall", "class_wise", "class_wise_average")}}
                 logger.info(msg)
                 statistics.append(it, stats, split)
             statistics.dump()
@@ -467,15 +474,33 @@ def do_optimize_sed_thresholds(args) -> None:
         raise FileNotFoundError("no strong ground truth for testing split")
     fw, names = preds["framewise_output"], preds["audio_name"]
 
-    def score(params):
+    def numpy_score(params):
         events = sed.frame_prediction_to_event_prediction(
             fw, params, DEFAULT.frames_per_second, labels)
         est = {names[i]: events[i] for i in range(len(names))}
         m = scoring.segment_based_metrics(gt, est, 10.0, 1.0, labels)
         return m["overall"]["f_measure"]["f_measure"]
 
-    base_score = score(dict(sed.sed_params_dict))
+    # the search runs its ~1.4k score evaluations through the on-device
+    # scorer (one compile, integer-exact counts — bit-identical scores to
+    # the numpy oracle, proven in tests/test_sed_fast.py); the numpy path
+    # remains the semantics oracle and re-scores the shipped optimum.
+    # Tiny splits stay on numpy: below ~2M framewise elements the whole
+    # search finishes before the device program would finish compiling
+    # (measured 2 s numpy vs 45 s compile on a 6-clip corpus; 488×1001×17
+    # is ~hours numpy vs 75 s device)
+    if getattr(args, "numpy_search", False) or fw.size < 2_000_000:
+        score = numpy_score
+    else:
+        from .sed_fast import DeviceSegmentScorer
+        scorer = DeviceSegmentScorer(fw, names, gt, labels,
+                                     DEFAULT.frames_per_second)
+        score = scorer.score_params
+
+    t0 = time.time()
+    base_score = numpy_score(dict(sed.sed_params_dict))
     best, params = autoth.optimize_sed_params(score, classes_num)
+    best = numpy_score(params)                   # oracle re-score
     if best < base_score:
         # the search is seeded from its own grid, not from the defaults —
         # never ship params that score worse than the defaults they replace
@@ -484,8 +509,8 @@ def do_optimize_sed_thresholds(args) -> None:
     with open(out, "wb") as f:
         pickle.dump({"sed_params": params, "score": best}, f)
     print(f"SED segment-F1 {base_score:.4f} → {best:.4f} "
-          f"(n_smooth={params['n_smooth']} n_salt={params['n_salt']}); "
-          f"params → {out}")
+          f"(n_smooth={params['n_smooth']} n_salt={params['n_salt']}, "
+          f"search {time.time() - t0:.1f} s); params → {out}")
 
 
 def _add_common(sp):
@@ -566,6 +591,10 @@ def main(argv=None) -> None:
 
     ps = sub.add_parser("optimize_sed_thresholds")
     _add_common(ps)
+    ps.add_argument("--numpy_search", action="store_true",
+                    help="run the threshold search through the host numpy "
+                         "scorer instead of the on-device one (oracle path; "
+                         "hours at real-corpus scale)")
     ps.set_defaults(func=do_optimize_sed_thresholds)
 
     args = p.parse_args(argv)

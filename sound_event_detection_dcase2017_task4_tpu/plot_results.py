@@ -36,16 +36,51 @@ def _load_runs(workspace: str, model_types: List[str] | None) -> Dict[str, list]
     return runs
 
 
+def _descend(val, parts: List[str]):
+    """Walk a dotted path through nested dicts / per-class arrays.
+
+    Array steps accept an integer index or a class-label name (resolved
+    through ``config.labels``), so ``at.average_precision.Car`` and
+    ``sed.class_wise.Car.f_measure`` both work (full per-class history is
+    persisted since round 3)."""
+    for i, part in enumerate(parts):
+        if val is None:
+            return None
+        if isinstance(val, dict):
+            # labels contain '.'-free words but DO contain spaces/commas;
+            # rejoin the remaining parts when the single part misses
+            if part not in val and ".".join(parts[i:]) in val:
+                return val[".".join(parts[i:])]
+            val = val.get(part)
+        elif hasattr(val, "__getitem__"):
+            if part.lstrip("-").isdigit():
+                idx = int(part)
+            else:
+                from .config import lb_to_idx
+
+                if part not in lb_to_idx:
+                    return None
+                idx = lb_to_idx[part]
+            try:
+                val = val[idx]
+            except (IndexError, KeyError):
+                return None
+        else:
+            return None
+    return val
+
+
 def _extract(records: list, metric: str, data_type: str):
-    group, key = metric.split(".", 1)
+    parts = metric.split(".")
+    group = parts[0]
     xs, ys = [], []
     for rec in records:
         if rec.get("data_type") != data_type or group not in rec:
             continue
-        val = rec[group].get(key)
-        if val is not None:
+        val = _descend(rec[group], parts[1:])
+        if val is not None and not (isinstance(val, float) and val != val):
             xs.append(rec["iteration"])
-            ys.append(val)
+            ys.append(float(val))
     return xs, ys
 
 

@@ -26,10 +26,12 @@ def _jsonable(obj):
     if isinstance(obj, (list, tuple)):
         return [_jsonable(v) for v in obj]
     if isinstance(obj, np.ndarray):
-        return obj.tolist()
+        return [_jsonable(v) for v in obj.tolist()]
     if isinstance(obj, (np.floating, np.integer)):
-        return obj.item()
-    return obj
+        obj = obj.item()
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None            # strict JSON has no NaN/Inf (per-class AP is
+    return obj                 # NaN for classes without positives)
 
 
 class StatisticsContainer:

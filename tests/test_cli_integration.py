@@ -251,3 +251,59 @@ def test_inference_does_not_materialize_training_features(workspace):
         # holdout wraps the base reader's ndarray in an _IndexedView
         base = getattr(feat, "_ds", feat)
         assert isinstance(base, np.ndarray)
+
+
+def test_statistics_persist_full_per_class_metrics(workspace, capsys):
+    """The statistics pickle must carry the COMPLETE metric dicts — the
+    reference pickles the Evaluator's full {at_metrics, sed_metrics}
+    including per-class arrays (SURVEY.md §2 "Statistics container");
+    plot_results must be able to draw a per-class curve from it."""
+    import json
+
+    import numpy as np
+
+    from sound_event_detection_dcase2017_task4_tpu import plot_results
+    from sound_event_detection_dcase2017_task4_tpu.config import labels
+
+    mt = "Cnn_9layers_MaxPooling"                # own run-config dir
+    main.main(["train", f"--workspace={workspace}", f"--model_type={mt}",
+               "--batch_size=4", "--stop_iteration=2", "--eval_interval=2",
+               "--eval_max_iteration=2"])
+    capsys.readouterr()
+    stats_dir = os.path.join(workspace, "statistics", "main",
+                             f"model_type={mt}", "loss_type=clip_bce",
+                             "augmentation=none", "batch_size=4")
+    with open(os.path.join(stats_dir, "statistics.pickle"), "rb") as f:
+        records = pickle.load(f)
+    test_recs = [r for r in records if r["data_type"] == "test"]
+    assert test_recs
+    at = test_recs[-1]["at"]
+    for key in ("average_precision", "auc", "precision", "recall", "f1"):
+        assert np.asarray(at[key]).shape == (17,), key
+    sed_rec = test_recs[-1]["sed"]
+    assert set(sed_rec["class_wise"]) == set(labels)
+    assert "error_rate" in sed_rec["overall"]
+    assert {"f_measure", "error_rate"} <= set(sed_rec)   # headline compat
+
+    # JSONL mirror is strict JSON (NaN → null) with the same depth
+    jsonl = os.path.join(stats_dir, "statistics.jsonl")
+    with open(jsonl) as f:
+        rows = [json.loads(ln) for ln in f if ln.strip()]
+    assert len(rows) == len(records)
+    assert len(rows[-1]["at"]["average_precision"]) == 17
+
+    # per-class dotted-path extraction, by label name and by index
+    for metric in (f"at.average_precision.{labels[2]}",
+                   "at.f1.0",
+                   f"sed.class_wise.{labels[0]}.f_measure"):
+        xs, ys = plot_results._extract(records, metric, "test")
+        assert xs, metric
+        assert all(isinstance(y, float) for y in ys)
+
+    # the plotting CLI end-to-end with a per-class metric
+    out_png = os.path.join(workspace, "percls.png")
+    plot_results.main([f"--workspace={workspace}", f"--model_types", mt,
+                       f"--metric=at.average_precision.{labels[2]}",
+                       f"--out={out_png}"])
+    captured = capsys.readouterr().out
+    assert os.path.isfile(out_png) or "#" in captured   # png or text mode

@@ -1,0 +1,200 @@
+"""Discriminative-quality benchmark on the hard synthetic corpus.
+
+Round-2 verdict item 1: the easy corpus saturates (every family reaches
+mAP 1.000 within ~1k iterations), so quality claims rode a ceiling and no
+regression could be detected. This driver builds the ``--profile hard``
+corpus (``data/synth.py``: confusable families, overlap, −5..20 dB SNR,
+distractors, imbalance), trains the model-family matrix on it with seed
+repeats, runs an INTENTIONALLY BROKEN control (BatchNorm momentum 0.9 →
+0.5) that must measurably regress, and prints the RESULTS.md table.
+
+Usage (on the TPU host)::
+
+    python tools/hard_benchmark.py matrix --workspace=/tmp/hardws \
+        [--num_train=2000] [--iterations=5000] [--seeds 1234 777]
+    python tools/hard_benchmark.py report --workspace=/tmp/hardws
+
+    # internal (spawned by `matrix` for the control run):
+    python tools/hard_benchmark.py train-control --workspace=... ...
+
+Each training run is its own subprocess of the regular CLI, so the
+persistent compile cache works exactly as in production use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+MODELS = [
+    "Cnn_9layers_AvgPooling",          # plain CNN, clip-level pooling
+    "Cnn_9layers_AttPooling",          # CNN + attention pooling
+    "Cnn_9layers_Glu_AttPooling",      # gated-CNN (GLU)
+    "Cnn_9layers_Gru_FrameAtt",        # CRNN (flagship)
+    "Cnn_9layers_Transformer_FrameAtt",
+]
+CONTROL_MODEL = "Cnn_9layers_Gru_FrameAtt"
+
+
+def _run(cmd, env_extra=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if env_extra:
+        env.update(env_extra)
+    print("+", " ".join(cmd), flush=True)
+    t0 = time.time()
+    r = subprocess.run(cmd, env=env, cwd=REPO)
+    print(f"  ... rc={r.returncode} in {time.time() - t0:.0f}s", flush=True)
+    if r.returncode != 0:
+        raise SystemExit(f"command failed: {cmd}")
+
+
+def _train_args(ws, model, seed, iterations, batch_size, extra=()):
+    return [
+        "train", f"--workspace={ws}", f"--model_type={model}",
+        f"--batch_size={batch_size}", f"--seed={seed}",
+        "--augmentation=mixup", f"--stop_iteration={iterations}",
+        "--eval_interval=500", "--eval_max_iteration=10", *extra,
+    ]
+
+
+def do_matrix(args) -> None:
+    ws = args.workspace
+    if not os.path.isfile(os.path.join(ws, "features", "training.h5")):
+        _run([sys.executable, "-m",
+              "sound_event_detection_dcase2017_task4_tpu.features",
+              "pack_synthetic", f"--workspace={ws}", "--profile=hard",
+              f"--num_train={args.num_train}", "--num_test=488",
+              "--num_eval=488", "--metadata_only", "--batch_size=64"])
+    for seed in args.seeds:
+        for model in MODELS:
+            _run([sys.executable, "-m",
+                  "sound_event_detection_dcase2017_task4_tpu.main",
+                  *_train_args(ws, model, seed, args.iterations,
+                               args.batch_size)])
+    # broken control: same flagship config, BN momentum poisoned to 0.5 —
+    # a benchmark with discriminative power must move on this
+    _run([sys.executable, os.path.abspath(__file__), "train-control",
+          f"--workspace={ws}", f"--seed={args.seeds[0]}",
+          f"--iterations={args.iterations}",
+          f"--batch_size={args.batch_size}"])
+    do_report(args)
+
+
+def do_train_control(args) -> None:
+    """Subprocess body for the broken-BN control run: poison the BatchNorm
+    momentum default BEFORE the model is built, then run the normal train
+    CLI in-process. The run lands in a ``control_bn_momentum_0.5``
+    sub-workspace (features symlinked) so its statistics can never be
+    mistaken for a healthy run's."""
+    sys.path.insert(0, REPO)
+    from sound_event_detection_dcase2017_task4_tpu.models import blocks
+
+    blocks.BatchNorm.momentum = 0.5
+    blocks.BatchNorm.__dataclass_fields__["momentum"].default = 0.5
+
+    from sound_event_detection_dcase2017_task4_tpu import main as main_cli
+
+    # distinct augmentation spelling is not available; use a sub-workspace
+    # so the control's statistics don't overwrite the healthy run
+    ws = os.path.join(args.workspace, "control_bn_momentum_0.5")
+    os.makedirs(ws, exist_ok=True)
+    for sub in ("features", "scalars", "synth_dataset"):
+        src = os.path.join(args.workspace, sub)
+        dst = os.path.join(ws, sub)
+        if os.path.isdir(src) and not os.path.islink(dst) \
+                and not os.path.isdir(dst):
+            os.symlink(src, dst)
+    main_cli.main(_train_args(ws, CONTROL_MODEL, args.seed,
+                              args.iterations, args.batch_size))
+
+
+def _last_test_record(stats_path):
+    with open(stats_path, "rb") as f:
+        records = pickle.load(f)
+    recs = [r for r in records if r["data_type"] == "test"]
+    return recs[-1] if recs else None
+
+
+def _collect(ws, model, batch_size):
+    import glob
+
+    pattern = os.path.join(ws, "statistics", "main", f"model_type={model}",
+                           "**", f"batch_size={batch_size}",
+                           "statistics.pickle")
+    out = []
+    for path in sorted(glob.glob(pattern, recursive=True)):
+        rec = _last_test_record(path)
+        if rec:
+            out.append(rec)
+    return out
+
+
+def do_report(args) -> None:
+    import numpy as np
+
+    ws = args.workspace
+    print("\n### Hard-corpus benchmark (test split, final iteration)\n")
+    print("| model | runs | mAP (mean±std) | segF1 (mean±std) |")
+    print("|---|---|---|---|")
+    rows = {}
+    for model in MODELS:
+        recs = _collect(ws, model, args.batch_size)
+        if not recs:
+            continue
+        maps = np.array([r["at"]["mAP"] for r in recs])
+        f1s = np.array([r["sed"]["f_measure"] for r in recs])
+        rows[model] = maps.mean()
+        print(f"| {model} | {len(recs)} | "
+              f"{maps.mean():.3f}±{maps.std():.3f} | "
+              f"{f1s.mean():.3f}±{f1s.std():.3f} |")
+    ctrl = _collect(os.path.join(ws, "control_bn_momentum_0.5"),
+                    CONTROL_MODEL, args.batch_size)
+    if ctrl:
+        maps = np.array([r["at"]["mAP"] for r in ctrl])
+        f1s = np.array([r["sed"]["f_measure"] for r in ctrl])
+        print(f"| {CONTROL_MODEL} (BROKEN: bn momentum 0.5) | {len(ctrl)} | "
+              f"{maps.mean():.3f}±{maps.std():.3f} | "
+              f"{f1s.mean():.3f}±{f1s.std():.3f} |")
+        if CONTROL_MODEL in rows:
+            delta = rows[CONTROL_MODEL] - maps.mean()
+            print(f"\ncontrol regression: ΔmAP = {delta:+.3f} "
+                  f"(must be positive for the benchmark to have power)")
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    pm = sub.add_parser("matrix")
+    pm.add_argument("--workspace", required=True)
+    pm.add_argument("--num_train", type=int, default=2000)
+    pm.add_argument("--iterations", type=int, default=5000)
+    pm.add_argument("--batch_size", type=int, default=64)
+    pm.add_argument("--seeds", type=int, nargs="+", default=[1234, 777])
+    pm.set_defaults(func=do_matrix)
+
+    pc = sub.add_parser("train-control")
+    pc.add_argument("--workspace", required=True)
+    pc.add_argument("--seed", type=int, default=1234)
+    pc.add_argument("--iterations", type=int, default=5000)
+    pc.add_argument("--batch_size", type=int, default=64)
+    pc.set_defaults(func=do_train_control)
+
+    pr = sub.add_parser("report")
+    pr.add_argument("--workspace", required=True)
+    pr.add_argument("--batch_size", type=int, default=64)
+    pr.set_defaults(func=do_report)
+
+    args = p.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()
