@@ -89,3 +89,31 @@ def test_dataset_stage_counts(tmp_path):
     res = parity_check.stage_dataset(str(tmp_path / "ds"))
     testing = [r for r in res if r["detail"].startswith("testing")]
     assert testing and testing[0]["status"] == "OK"
+
+
+def test_dry_mode_covers_device_decode(tmp_path):
+    """Round-3 added the on-device threshold-search decode; the dry
+    self-check must pin it against the numpy oracle so the harness stays
+    honest as the decode surface evolves (round-2 verdict item 9)."""
+    res = parity_check.stage_dry_selfcheck()
+    dev = [r for r in res if "binarize_dynamic" in r["detail"]]
+    assert dev and dev[0]["status"] == "PASS"
+    assert all(r["status"] == "PASS" for r in res)
+
+
+def test_survey_patch_emitted_on_divergence(tmp_path):
+    """When the populated mount diverges from the reconstruction, stage-1
+    must produce a ready-to-apply SURVEY.md correction list."""
+    ref = str(tmp_path / "reference")
+    _make_stub_reference(ref)          # pytorch/main.py is missing → DIFF
+    tree = parity_check.stage_tree(ref)
+    patch = str(tmp_path / "SURVEY_PATCH.md")
+    assert parity_check.write_survey_patch(tree, patch)
+    text = open(patch).read()
+    assert "pytorch/main.py" in text and "SURVEY.md" in text
+
+    # an exactly-matching tree yields NO patch file
+    ok_rows = [r for r in tree if r["status"] != "DIFF"]
+    assert not parity_check.write_survey_patch(
+        ok_rows, str(tmp_path / "none.md"))
+    assert not os.path.isfile(str(tmp_path / "none.md"))

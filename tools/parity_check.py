@@ -308,7 +308,43 @@ def stage_dry_selfcheck() -> list[dict]:
     out.append(_result("dry", "PASS" if e1 == e2 else "FAIL",
                        "decode deterministic on fixed input "
                        f"({sum(len(x) for x in e1)} events)"))
+
+    # round-3 decode surface: the on-device threshold-search decode
+    # (sed_fast.binarize_dynamic) must stay bit-equal to the numpy oracle —
+    # the CLI search trusts this equality for its shipped optima
+    from sound_event_detection_dcase2017_task4_tpu.sed_fast import (
+        binarize_dynamic)
+
+    blocky = np.repeat(probs[:, ::4, :], 4, axis=1)[:, :500, :]
+    want = sed.binarize(blocky, 0.55, 0.3, 7, 5)
+    got = np.asarray(binarize_dynamic(blocky, 0.55, 0.3, 7, 5))
+    out.append(_result(
+        "dry", "PASS" if np.array_equal(got, want) else "FAIL",
+        "device threshold-search decode (binarize_dynamic) bit-equal to "
+        f"numpy sed.binarize ({int(want.sum())} active frames)"))
     return out
+
+
+def write_survey_patch(tree_results: list[dict], path: str) -> bool:
+    """Distill stage-1 DIFFs into a ready-to-apply SURVEY.md correction
+    file: one bullet per divergence between the reconstruction and the
+    real tree, phrased as the edit to make. Returns True if written
+    (no DIFFs → nothing to patch → no file)."""
+    diffs = [r for r in tree_results if r["status"] == "DIFF"]
+    if not diffs:
+        return False
+    with open(path, "w") as f:
+        f.write("# SURVEY.md patch (generated by tools/parity_check.py)\n\n"
+                "The reference mount is populated and stage-1 found the\n"
+                "following divergences from SURVEY.md's reconstruction.\n"
+                "Apply each bullet to SURVEY.md §2 (and re-run this tool\n"
+                "until stage-1 reports no DIFF):\n\n")
+        for r in diffs:
+            f.write(f"- [ ] {r['detail']}\n")
+        f.write("\nThen update the [HIGH]/[MED]/[LOW] confidence tags of\n"
+                "the corrected rows to VERIFIED, and re-check BASELINE.md's\n"
+                "UNVERIFIED numbers against the real README.\n")
+    return True
 
 
 def main(argv=None) -> int:
@@ -317,10 +353,16 @@ def main(argv=None) -> int:
     p.add_argument("--dataset_dir", default=None)
     p.add_argument("--out", default=None,
                    help="also write the results as JSON here")
+    p.add_argument("--survey_patch", default="SURVEY_PATCH.md",
+                   help="where to write the ready-to-apply SURVEY.md "
+                        "correction list when stage-1 finds divergences")
     args = p.parse_args(argv)
 
     results = []
-    results += stage_tree(args.reference)
+    tree_results = stage_tree(args.reference)
+    results += tree_results
+    if write_survey_patch(tree_results, args.survey_patch):
+        print(f"stage-1 divergences → {args.survey_patch}")
     results += stage_bitcompat(args.reference)
     results += stage_dataset(args.dataset_dir)
     if all(r["status"] == "SKIP" for r in results):
