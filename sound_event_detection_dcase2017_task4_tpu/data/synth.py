@@ -25,15 +25,15 @@ __all__ = ["SynthClip", "make_synthetic_dataset"]
 #
 # * confusable class FAMILIES share the harmonic stack — the four sirens
 #   (classes 4–7) differ only in their frequency-modulation pattern, the
-#   horn family (0–3) only in amplitude-modulation/beep cadence, the motor
-#   vehicles (11–16) only in engine-hum fundamental and roughness — so
+#   horn family (0–3) only in beep cadence, the motor vehicles (11–16)
+#   only in AM roughness rate over a SHARED engine-hum fundamental — so
 #   spectral shape alone cannot separate members; temporal modelling
 #   (BiGRU/attention) is required, which orders model families the way the
 #   weak-label SED literature predicts (CNN < GLU < CRNN);
 # * events OVERLAP (up to 4 per clip, drawn independently in time);
-# * per-event SNR is drawn from −5..+20 dB over a pink-noise background;
-# * unlabeled DISTRACTOR tones/noise bursts occur between family centers
-#   (false-positive bait), and ~10% of clips are background-only;
+# * per-event SNR is drawn from −10..+15 dB over a pink-noise background;
+# * unlabeled DISTRACTOR tones sit ON the family carriers with non-member
+#   modulation (false-positive bait), and ~10% of clips are background-only;
 # * class frequencies follow a Zipf-like imbalance.
 # ---------------------------------------------------------------------------
 
@@ -70,12 +70,11 @@ def _tone_hard(cls: int, t: np.ndarray, rng: np.random.RandomState):
         for h, amp in ((1, 1.0), (3, 0.6), (5, 0.35)):   # odd harmonics
             sig += amp * np.sin(2 * np.pi * f0 * h * t
                                 + rng.uniform(0, 2 * np.pi))
-        # member contrast: beep cadence 1.5/3/6 Hz duty-cycled, or steady
-        if member == 0:
-            am = np.ones_like(t)
-        else:
-            rate = (1.5, 3.0, 6.0)[member - 1]
-            am = (np.sin(2 * np.pi * rate * t) > -0.2).astype(np.float32)
+        # member contrast: beep cadence only (0.8/1.5/3/6 Hz duty-cycled) —
+        # all members cadenced, so "steady tone at 420 Hz" is NOT a class
+        # cue (the distractors exploit exactly that)
+        rate = (0.8, 1.5, 3.0, 6.0)[member]
+        am = (np.sin(2 * np.pi * rate * t) > -0.2).astype(np.float32)
         return (sig * am).astype(np.float32)
     if cls in _SIRENS:
         member = _SIRENS.index(cls)
@@ -114,27 +113,41 @@ def _tone_hard(cls: int, t: np.ndarray, rng: np.random.RandomState):
         sig = rng.randn(len(t)).astype(np.float32) * gate
         return sig
     member = _ENGINES.index(cls)
-    # engines: low hum + roughness; member contrast = hum fundamental
-    # (80..180 Hz in 6 steps) and AM roughness rate
-    f0 = 80.0 * (1.2 ** member) * (1.0 + 0.02 * rng.randn())
+    # engines: low hum + roughness; the fundamental is SHARED by the whole
+    # family (a per-member f0 would be a trivially separable spectral cue —
+    # the round-3 calibration run hit test mAP 0.975 with per-member f0s);
+    # member contrast is the AM roughness rate alone
+    f0 = 100.0 * (1.0 + 0.03 * rng.randn())
     sig = np.zeros_like(t)
     for h, amp in ((1, 1.0), (2, 0.7), (3, 0.45), (4, 0.3)):
         sig += amp * np.sin(2 * np.pi * f0 * h * t
                             + rng.uniform(0, 2 * np.pi))
-    rough = 1.0 + 0.5 * np.sin(2 * np.pi * (8.0 + 3.0 * member) * t)
+    rough_rate = (4.0, 6.5, 9.0, 12.5, 17.0, 23.0)[member]
+    rough = 1.0 + 0.5 * np.sin(2 * np.pi * rough_rate * t)
     sig = sig * rough + 0.3 * _pink_noise(len(t), rng)
     return sig.astype(np.float32)
 
 
 def _distractor(t: np.ndarray, rng: np.random.RandomState):
-    """Unlabeled bait: tones between the family carriers or noise bursts —
-    a model keying on 'energy near 600/2500 Hz' alone will false-positive."""
-    kind = rng.randint(3)
-    if kind == 0:
+    """Unlabeled bait. The nastiest kind sits ON a family carrier
+    (420/850/1200/100 Hz) with a modulation no member uses (steady, or
+    40 Hz flutter) — a model keying on spectral location alone will
+    false-positive on it; only the modulation pattern separates class
+    from non-class."""
+    kind = rng.randint(4)
+    if kind == 0:                                 # family-carrier bait
+        f = rng.choice([420.0, 850.0, 1200.0, 100.0]) * (
+            1 + 0.03 * rng.randn())
+        if rng.rand() < 0.5:
+            am = np.ones_like(t)                  # steady — no member is
+        else:
+            am = 0.6 + 0.4 * np.sin(2 * np.pi * 40.0 * t)   # 40 Hz flutter
+        return (np.sin(2 * np.pi * f * t) * am).astype(np.float32)
+    if kind == 1:
         f = rng.choice([600.0, 1500.0, 2500.0]) * (1 + 0.05 * rng.randn())
         am = 0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(0.5, 4.0) * t)
         return (np.sin(2 * np.pi * f * t) * am).astype(np.float32)
-    if kind == 1:
+    if kind == 2:
         return (rng.randn(len(t)) *
                 np.exp(-t * rng.uniform(1.0, 4.0))).astype(np.float32)
     return _pink_noise(len(t), rng) * 2.0
@@ -173,7 +186,7 @@ def make_synthetic_dataset(
     ``profile="easy"`` (default) is the round-1 corpus: unique timbre per
     class, fixed SNR — models saturate on it, which is what the smoke
     tests want. ``profile="hard"`` is the discriminative benchmark (see
-    module comment): confusable families, overlap, −5..20 dB SNR,
+    module comment): confusable families, overlap, −10..15 dB SNR,
     distractors, imbalance, background-only clips.
     """
     if profile == "hard":
@@ -247,7 +260,7 @@ def _make_hard_dataset(num_clips: int, cfg: Config, seed: int,
                 np.arange(s1 - s0)[::-1] / ramp)).astype(np.float32)
             tone = _tone_hard(cls, t, rng)
             tone_rms = float(np.sqrt(np.mean(tone ** 2)) + 1e-12)
-            snr_db = rng.uniform(-5.0, 20.0)
+            snr_db = rng.uniform(-10.0, 15.0)
             gain = noise_rms * 10.0 ** (snr_db / 20.0) / tone_rms
             wave[s0:s1] += gain * env * tone
             weak[cls] = 1.0

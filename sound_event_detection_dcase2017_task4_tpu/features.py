@@ -227,7 +227,7 @@ def main(argv=None) -> None:
     py.add_argument("--profile", default="easy", choices=["easy", "hard"],
                     help="'easy' saturates quickly (smoke tests); 'hard' is "
                          "the discriminative benchmark — confusable class "
-                         "families, overlapping events, -5..20 dB SNR, "
+                         "families, overlapping events, -10..15 dB SNR, "
                          "unlabeled distractors, class imbalance")
     py.add_argument("--use_pallas", action="store_true")
     py.add_argument("--metadata_only", action="store_true",

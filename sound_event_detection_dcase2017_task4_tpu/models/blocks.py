@@ -162,8 +162,15 @@ class GLUBlock(nn.Module):
 
     The gated-CNN variant à la Xu et al. 2017 (arXiv:1710.00343, the DCASE2017
     winner cited by the reference; SURVEY.md §2 "Gated-CNN (GLU) model").
-    One 3×3 conv produces 2×channels; the second half gates the first —
-    a single fused matmul on the MXU instead of two convs.
+
+    Layout note (round-3 A/B on v5e, batch-128 bench config): the tempting
+    "one 2×C conv then split" form is 16% SLOWER end-to-end (225.9 vs
+    190.3 ms/step) despite the bigger single matmul — the split+gate
+    consumer defeats XLA's conv-epilogue fusion, so every BatchNorm apply
+    and its backward reduction materializes the [B,T,F,2C] tensor
+    (2.1 GB at block0, ~24 ms of pure HBM traffic in the device trace).
+    Two separate C-channel convs keep each conv→BN fused exactly like
+    ``ConvBlock``; only the final gate product itself is materialized.
     """
 
     channels: int
@@ -173,15 +180,22 @@ class GLUBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         for i in range(2):
-            h = nn.Conv(
-                2 * self.channels, (3, 3), padding="SAME", use_bias=False,
-                kernel_init=_glorot, dtype=self.dtype,
+            lin = nn.Conv(
+                self.channels, (3, 3), padding="SAME", use_bias=False,
+                kernel_init=_glorot, dtype=self.dtype, name=f"Conv_lin_{i}",
             )(x)
-            h = BatchNorm(
+            gate = nn.Conv(
+                self.channels, (3, 3), padding="SAME", use_bias=False,
+                kernel_init=_glorot, dtype=self.dtype, name=f"Conv_gate_{i}",
+            )(x)
+            lin = BatchNorm(
                 use_running_average=not train, momentum=0.9,
-                dtype=self.dtype, name=f"BatchNorm_{i}",
-            )(h)
-            lin, gate = jnp.split(h, 2, axis=-1)
+                dtype=self.dtype, name=f"BatchNorm_lin_{i}",
+            )(lin)
+            gate = BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                dtype=self.dtype, name=f"BatchNorm_gate_{i}",
+            )(gate)
             x = lin * nn.sigmoid(gate)
         if self.pool != (1, 1):
             x = avg_pool_2d(x, self.pool)

@@ -3,7 +3,7 @@
 Round-2 verdict item 1: the easy corpus saturates (every family reaches
 mAP 1.000 within ~1k iterations), so quality claims rode a ceiling and no
 regression could be detected. This driver builds the ``--profile hard``
-corpus (``data/synth.py``: confusable families, overlap, −5..20 dB SNR,
+corpus (``data/synth.py``: confusable families, overlap, −10..15 dB SNR,
 distractors, imbalance), trains the model-family matrix on it with seed
 repeats, runs an INTENTIONALLY BROKEN control (BatchNorm momentum 0.9 →
 0.5) that must measurably regress, and prints the RESULTS.md table.
@@ -71,7 +71,7 @@ def do_matrix(args) -> None:
               "sound_event_detection_dcase2017_task4_tpu.features",
               "pack_synthetic", f"--workspace={ws}", "--profile=hard",
               f"--num_train={args.num_train}", "--num_test=488",
-              "--num_eval=488", "--metadata_only", "--batch_size=64"])
+              "--num_eval=488", "--metadata_only"])
     for seed in args.seeds:
         for model in MODELS:
             _run([sys.executable, "-m",
