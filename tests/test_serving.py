@@ -151,3 +151,67 @@ def test_from_workspace_loads_tuned_sed_params(tmp_path):
     x = np.random.RandomState(0).randn(2, cfg.clip_samples).astype(np.float32)
     events = pred.detect_events(x)
     assert len(events) == 2
+
+
+def test_predict_long_rejects_oversized_hop(predictor):
+    """Hops longer than the model window leave spans no window covers —
+    previously those frames silently decoded as all-zero probabilities
+    (advisor round-2 medium finding)."""
+    wave = np.random.RandomState(0).randn(48000).astype(np.float32)
+    with pytest.raises(ValueError, match="exceeds the model window"):
+        predictor.predict_long(wave, hop_seconds=2.0)   # window is 0.5 s
+    # at exactly the window length every frame is covered → accepted
+    out = predictor.predict_long(wave, hop_seconds=0.5)
+    assert np.isfinite(out["framewise_output"]).all()
+
+
+def test_from_workspace_pinned_iteration_skips_tuned_params(tmp_path,
+                                                            caplog):
+    """Tuned decode params belong to the LATEST checkpoint; pinning an
+    older iteration must not silently mix model generations (advisor
+    round-2 low finding)."""
+    import logging
+    import os
+    import pickle
+
+    import h5py
+
+    from sound_event_detection_dcase2017_task4_tpu import checkpoints, sed
+
+    cfg = Config(clip_samples=16000)
+    model = SedCnn(classes_num=17, channels=(8, 16), head="att")
+    state, _ = train.create_train_state(model, cfg)
+
+    model_type, run_config = "TinyTest", "loss_type=clip_bce/batch_size=8"
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "checkpoints", "main",
+                            f"model_type={model_type}", run_config)
+    os.makedirs(ckpt_dir)
+    checkpoints.save_checkpoint(ckpt_dir, state, 5)
+    checkpoints.save_checkpoint(ckpt_dir, state, 9)
+    os.makedirs(os.path.join(ws, "scalars"))
+    with h5py.File(os.path.join(ws, "scalars", "training.h5"), "w") as hf:
+        hf["mean"] = np.zeros(cfg.mel_bins, np.float32)
+        hf["std"] = np.ones(cfg.mel_bins, np.float32)
+    opt_dir = os.path.join(ws, "opt_thresholds", "main",
+                           f"model_type={model_type}", run_config)
+    os.makedirs(opt_dir)
+    with open(os.path.join(opt_dir, "sed.pickle"), "wb") as f:
+        pickle.dump({"sed_params": {"sed_high_threshold": 0.9,
+                                    "sed_low_threshold": 0.8,
+                                    "n_smooth": 2, "n_salt": 2},
+                     "score": 0.9}, f)
+
+    import sound_event_detection_dcase2017_task4_tpu.models as _m
+    _m.MODEL_REGISTRY.setdefault("TinyTest",
+                                 dict(channels=(8, 16), head="att"))
+    try:
+        with caplog.at_level(logging.WARNING,
+                             logger="sound_event_detection_dcase2017_task4_tpu.serving"):
+            pred = serving.Predictor.from_workspace(
+                ws, model_type, run_config, cfg=cfg, iteration=5)
+    finally:
+        _m.MODEL_REGISTRY.pop("TinyTest", None)
+    # defaults, not the tuned pickle
+    assert pred.sed_params == dict(sed.sed_params_dict)
+    assert any("NOT auto-loading" in r.message for r in caplog.records)
