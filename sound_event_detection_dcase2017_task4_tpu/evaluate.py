@@ -109,9 +109,16 @@ class Evaluator:
             events = sed.frame_prediction_to_event_prediction(
                 out["framewise_output"], sed_params or self.sed_params,
                 self.frames_per_second, self.labels)
-            est = {audio_names[i]: events[i] for i in range(len(audio_names))}
+            # the generator may be truncated (training-time eval with
+            # --eval_max_iteration): score exactly the evaluated prefix —
+            # both the estimates AND the ground truth are restricted to it,
+            # or every unevaluated file would count as pure deletions
+            names = list(audio_names)[: len(events)]
+            est = {names[i]: events[i] for i in range(len(names))}
+            ref = {n: ground_truth_events[n] for n in names
+                   if n in ground_truth_events}
             result["sed"] = scoring.segment_based_metrics(
-                ground_truth_events, est, self.clip_duration, 1.0, self.labels)
+                ref, est, self.clip_duration, 1.0, self.labels)
             result["est_events"] = est
         result["outputs"] = out
         return result

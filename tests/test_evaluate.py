@@ -274,3 +274,40 @@ def test_evaluator_full_sed_path():
     assert 0.0 <= res["at"]["mAP"] <= 1.0
     assert res["sed"]["overall"]["error_rate"]["error_rate"] >= 0.0
     assert set(res["est_events"]) == set(names)
+
+
+def test_evaluator_truncated_generator_scores_evaluated_prefix():
+    """--eval_max_iteration truncates the eval generator: the SED scoring
+    must cover exactly the evaluated prefix (round-3 regression — with
+    audio_names longer than the evaluated clips the decode/name zip
+    crashed, and untruncated ground truth would count every unevaluated
+    file as deletions)."""
+    import numpy as np
+
+    from sound_event_detection_dcase2017_task4_tpu.config import labels
+    from sound_event_detection_dcase2017_task4_tpu.evaluate import Evaluator
+
+    n_total, n_eval, t = 6, 4, 50
+    rng = np.random.RandomState(0)
+
+    def eval_step(state, batch_x):
+        b = batch_x.shape[0]
+        return {"clipwise_output": np.full((b, 17), 0.1, np.float32),
+                "framewise_output": np.zeros((b, t, 17), np.float32)}
+
+    def gen():
+        for i in range(0, n_eval, 2):
+            yield (rng.randn(2, t, 64).astype(np.float32),
+                   np.zeros((2, 17), np.float32))
+
+    names = [f"clip{i}.wav" for i in range(n_total)]
+    gt = {n: [(0.1, 0.3, labels[0])] for n in names}
+    ev = Evaluator(eval_step, labels, frames_per_second=100)
+    res = ev.evaluate(None, gen(), audio_names=names,
+                      ground_truth_events=gt)
+    assert set(res["est_events"]) == set(names[:n_eval])
+    # only the 4 evaluated files' ground truth is in scope: 4 ref
+    # segments, all deleted (no predictions) — not 6
+    cw = res["sed"]["class_wise"][labels[0]]
+    assert cw["nref"] == n_eval
+    assert cw["nfn"] == n_eval
