@@ -20,9 +20,10 @@ STOP_ITERATION=${STOP_ITERATION:-10000}
 
 ############ 1. Pack features ############
 if [ -z "$DATASET_DIR" ]; then
-  echo "DATASET_DIR unset → building synthetic corpus"
+  echo "DATASET_DIR unset → building synthetic corpus (SYNTH_PROFILE=${SYNTH_PROFILE:-easy})"
   python -m $PKG.features pack_synthetic --workspace=$WORKSPACE \
-      --num_train=200 --num_test=40 --num_eval=40 --use_pallas --metadata_only
+      --num_train=200 --num_test=40 --num_eval=40 --use_pallas --metadata_only \
+      --profile="${SYNTH_PROFILE:-easy}"
   DATASET_DIR="$WORKSPACE/synth_dataset"
 else
   for SPLIT in training testing evaluation; do
