@@ -26,9 +26,9 @@ def __getattr__(name):
         "Predictor": ("serving", "Predictor"),
         "make_logmel_fn": ("ops.stft", "make_logmel_fn"),
     }
-    module_level = {"train", "sed", "scoring", "evaluate", "autoth", "data",
-                    "models", "parallel", "checkpoints", "losses", "serving",
-                    "audio_io", "native"}
+    module_level = {"train", "sed", "sed_fast", "scoring", "evaluate",
+                    "autoth", "data", "models", "parallel", "checkpoints",
+                    "losses", "serving", "audio_io", "native"}
     if name in lazy:
         mod, attr = lazy[name]
         return getattr(importlib.import_module(f".{mod}", __name__), attr)

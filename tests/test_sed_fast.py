@@ -147,3 +147,28 @@ def test_search_identical_optimum_across_backends():
                                   params_np["sed_low_threshold"])
     assert params_dev["n_smooth"] == params_np["n_smooth"]
     assert params_dev["n_salt"] == params_np["n_salt"]
+
+
+@pytest.mark.parametrize("n_smooth,n_salt", [(0, 0), (1, 1), (200, 1),
+                                             (1, 200), (200, 200)])
+def test_binarize_dynamic_extreme_lengths(n_smooth, n_salt):
+    """Smoothing lengths beyond T (and degenerate 0/1) must keep numpy
+    equality — run/gap lengths max out at T, so the comparisons saturate."""
+    rng = np.random.RandomState(7)
+    probs = np.repeat(rng.rand(2, 30, 3).astype(np.float32), 4,
+                      axis=1)[:, :60, :]
+    want = sed.binarize(probs, 0.6, 0.3, n_smooth, n_salt)
+    got = np.asarray(binarize_dynamic(probs, 0.6, 0.3, n_smooth, n_salt))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_binarize_dynamic_extreme_thresholds():
+    rng = np.random.RandomState(8)
+    probs = rng.rand(2, 40, 3).astype(np.float32)
+    # low=0 → everything active; high=1+ → nothing seeded → all dropped
+    all_active = np.asarray(binarize_dynamic(probs, 0.0, 0.0, 1, 1))
+    assert all_active.all()
+    none = np.asarray(binarize_dynamic(probs, 1.1, 0.3, 1, 1))
+    assert not none.any()
+    np.testing.assert_array_equal(
+        none, sed.binarize(probs, 1.1, 0.3, 1, 1))
