@@ -58,9 +58,13 @@ def _descend(val, parts: List[str]):
             else:
                 from .config import lb_to_idx
 
-                if part not in lb_to_idx:
+                # labels contain spaces ("Train horn"); accept the
+                # shell-friendly underscore spelling too
+                key = part if part in lb_to_idx \
+                    else part.replace("_", " ")
+                if key not in lb_to_idx:
                     return None
-                idx = lb_to_idx[part]
+                idx = lb_to_idx[key]
             try:
                 val = val[idx]
             except (IndexError, KeyError):
@@ -131,10 +135,21 @@ def main(argv=None) -> None:
         return
 
     fig, ax = plt.subplots(figsize=(7, 4.5))
+    n_curves = 0
     for mt, records in runs.items():
         xs, ys = _extract(records, args.metric, args.data_type)
         if xs:
             ax.plot(xs, ys, marker="o", markersize=3, label=mt)
+            n_curves += 1
+        else:
+            print(f"warning: {mt}: metric {args.metric!r} matched no "
+                  f"records (data_type={args.data_type})")
+    if not n_curves:
+        groups = {k for r in next(iter(runs.values()))
+                  for k in r if k not in ("iteration", "data_type")}
+        raise SystemExit(
+            f"no curves to plot; available metric groups: {sorted(groups)} "
+            "(per-class form: at.average_precision.<label>, underscores ok)")
     ax.set_xlabel("iteration")
     ax.set_ylabel(args.metric)
     ax.set_title(f"{args.metric} on {args.data_type}")

@@ -292,13 +292,24 @@ def test_statistics_persist_full_per_class_metrics(workspace, capsys):
     assert len(rows) == len(records)
     assert len(rows[-1]["at"]["average_precision"]) == 17
 
-    # per-class dotted-path extraction, by label name and by index
+    # per-class dotted-path extraction: by label name, by index, and by the
+    # shell-friendly underscore spelling of a spaced label
     for metric in (f"at.average_precision.{labels[2]}",
                    "at.f1.0",
-                   f"sed.class_wise.{labels[0]}.f_measure"):
+                   f"sed.class_wise.{labels[0]}.f_measure",
+                   # underscore spelling of a spaced label (labels[2] is
+                   # known-present in the fixture; labels[0] can be all-NaN)
+                   f"at.average_precision.{labels[2].replace(' ', '_')}"):
         xs, ys = plot_results._extract(records, metric, "test")
         assert xs, metric
         assert all(isinstance(y, float) for y in ys)
+
+    # a metric that matches nothing must fail loudly, not write an empty plot
+    with pytest.raises(SystemExit, match="no curves"):
+        plot_results.main([f"--workspace={workspace}", "--model_types", mt,
+                           "--metric=at.not_a_metric",
+                           f"--out={os.path.join(workspace, 'empty.png')}"])
+    capsys.readouterr()
 
     # the plotting CLI end-to-end with a per-class metric
     out_png = os.path.join(workspace, "percls.png")

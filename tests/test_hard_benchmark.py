@@ -1,0 +1,84 @@
+"""Unit tests for tools/hard_benchmark.py's run collection.
+
+Seed is not part of the reference workspace layout (SURVEY.md §2: run
+config dirs key on model/loss/augmentation/batch only), so seed repeats
+into one workspace overwrite ``statistics.pickle``; the matrix report must
+instead collect the per-run timestamped backups and be robust to crashed
+partial runs and the broken-BN control sub-workspace.
+"""
+
+import os
+import pickle
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import hard_benchmark  # noqa: E402
+
+
+def _write_run(ws, model, ts, records, batch_size=32):
+    d = os.path.join(ws, "statistics", "main", f"model_type={model}",
+                     "loss_type=clip_bce", "augmentation=mixup",
+                     f"batch_size={batch_size}")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"statistics_{ts}.pickle"), "wb") as f:
+        pickle.dump(records, f)
+    # the main pickle is whatever the LAST run left behind
+    with open(os.path.join(d, "statistics.pickle"), "wb") as f:
+        pickle.dump(records, f)
+
+
+def _rec(iteration, mAP, data_type="test"):
+    return {"iteration": iteration, "data_type": data_type,
+            "at": {"mAP": mAP}, "sed": {"f_measure": mAP / 2}}
+
+
+def test_collect_one_record_per_seed_run(tmp_path):
+    ws = str(tmp_path)
+    mt = "Cnn_9layers_Gru_FrameAtt"
+    # seed A then seed B overwrote statistics.pickle; backups survive
+    _write_run(ws, mt, "2026-01-01_00-00-00",
+               [_rec(0, 0.1), _rec(3000, 0.8)])
+    _write_run(ws, mt, "2026-01-01_01-00-00",
+               [_rec(0, 0.1), _rec(3000, 0.9)])
+    recs = hard_benchmark._collect(ws, mt, 32)
+    assert len(recs) == 2
+    assert sorted(r["at"]["mAP"] for r in recs) == [0.8, 0.9]
+
+
+def test_collect_drops_crashed_partial_run(tmp_path):
+    ws = str(tmp_path)
+    mt = "Cnn_9layers_AvgPooling"
+    _write_run(ws, mt, "2026-01-01_00-00-00", [_rec(0, 0.13)])   # crashed
+    _write_run(ws, mt, "2026-01-01_01-00-00",
+               [_rec(0, 0.1), _rec(3000, 0.85)])
+    recs = hard_benchmark._collect(ws, mt, 32)
+    assert [r["at"]["mAP"] for r in recs] == [0.85]
+
+
+def test_collect_finds_seed_subworkspaces_excludes_control(tmp_path):
+    ws = str(tmp_path)
+    mt = hard_benchmark.CONTROL_MODEL
+    _write_run(os.path.join(ws, "seed_1234"), mt,
+               "2026-01-01_00-00-00", [_rec(3000, 0.9)])
+    _write_run(os.path.join(ws, "seed_777"), mt,
+               "2026-01-01_01-00-00", [_rec(3000, 0.88)])
+    _write_run(os.path.join(ws, "control_bn_momentum_0.5"), mt,
+               "2026-01-01_02-00-00", [_rec(3000, 0.5)])
+    healthy = hard_benchmark._collect(ws, mt, 32)
+    assert sorted(r["at"]["mAP"] for r in healthy) == [0.88, 0.9]
+    ctrl = hard_benchmark._collect(
+        os.path.join(ws, "control_bn_momentum_0.5"), mt, 32,
+        exclude_control=False)
+    assert [r["at"]["mAP"] for r in ctrl] == [0.5]
+
+
+def test_sub_workspace_symlinks_shared_features(tmp_path):
+    ws = str(tmp_path)
+    os.makedirs(os.path.join(ws, "features"))
+    open(os.path.join(ws, "features", "training.h5"), "w").close()
+    sub = hard_benchmark._sub_workspace(ws, "seed_42")
+    assert os.path.isfile(os.path.join(sub, "features", "training.h5"))
+    # idempotent
+    assert hard_benchmark._sub_workspace(ws, "seed_42") == sub

@@ -64,6 +64,22 @@ def _train_args(ws, model, seed, iterations, batch_size, extra=()):
     ]
 
 
+def _sub_workspace(ws: str, name: str) -> str:
+    """A child workspace that shares the parent's packed features via
+    symlinks. Needed because seed is NOT part of the reference workspace
+    layout (checkpoints/statistics key on model/loss/augmentation/batch
+    only), so seed repeats into one workspace overwrite each other."""
+    sub = os.path.join(ws, name)
+    os.makedirs(sub, exist_ok=True)
+    for d in ("features", "scalars", "synth_dataset"):
+        src = os.path.join(ws, d)
+        dst = os.path.join(sub, d)
+        if os.path.isdir(src) and not os.path.islink(dst) \
+                and not os.path.isdir(dst):
+            os.symlink(src, dst)
+    return sub
+
+
 def do_matrix(args) -> None:
     ws = args.workspace
     if not os.path.isfile(os.path.join(ws, "features", "training.h5")):
@@ -73,10 +89,11 @@ def do_matrix(args) -> None:
               f"--num_train={args.num_train}", "--num_test=488",
               "--num_eval=488", "--metadata_only"])
     for seed in args.seeds:
+        seed_ws = _sub_workspace(ws, f"seed_{seed}")
         for model in MODELS:
             _run([sys.executable, "-m",
                   "sound_event_detection_dcase2017_task4_tpu.main",
-                  *_train_args(ws, model, seed, args.iterations,
+                  *_train_args(seed_ws, model, seed, args.iterations,
                                args.batch_size)])
     # broken control: same flagship config, BN momentum poisoned to 0.5 —
     # a benchmark with discriminative power must move on this
@@ -112,14 +129,7 @@ def do_train_control(args) -> None:
 
     # distinct augmentation spelling is not available; use a sub-workspace
     # so the control's statistics don't overwrite the healthy run
-    ws = os.path.join(args.workspace, "control_bn_momentum_0.5")
-    os.makedirs(ws, exist_ok=True)
-    for sub in ("features", "scalars", "synth_dataset"):
-        src = os.path.join(args.workspace, sub)
-        dst = os.path.join(ws, sub)
-        if os.path.isdir(src) and not os.path.islink(dst) \
-                and not os.path.isdir(dst):
-            os.symlink(src, dst)
+    ws = _sub_workspace(args.workspace, "control_bn_momentum_0.5")
     main_cli.main(_train_args(ws, CONTROL_MODEL, args.seed,
                               args.iterations, args.batch_size))
 
@@ -131,18 +141,32 @@ def _last_test_record(stats_path):
     return recs[-1] if recs else None
 
 
-def _collect(ws, model, batch_size):
+def _collect(ws, model, batch_size, exclude_control=True):
+    """One record per RUN, seed-repeat safe.
+
+    Every train run writes a timestamped ``statistics_<ts>.pickle`` backup
+    at container init and keeps it current through the run, while the main
+    ``statistics.pickle`` is overwritten by any later run of the same
+    run-config (seed is not part of the reference workspace layout). The
+    backups are therefore the per-run record: collect them recursively (so
+    both the flat layout and ``seed_*/`` sub-workspaces are found), and
+    drop runs that died early — their final test iteration is below the
+    cohort max (e.g. a run that crashed during the iteration-0 eval)."""
     import glob
 
-    pattern = os.path.join(ws, "statistics", "main", f"model_type={model}",
-                           "**", f"batch_size={batch_size}",
-                           "statistics.pickle")
-    out = []
+    pattern = os.path.join(ws, "**", f"model_type={model}", "**",
+                           f"batch_size={batch_size}", "statistics_*.pickle")
+    recs = []
     for path in sorted(glob.glob(pattern, recursive=True)):
+        if exclude_control and "control_" in path:
+            continue
         rec = _last_test_record(path)
         if rec:
-            out.append(rec)
-    return out
+            recs.append(rec)
+    if not recs:
+        return []
+    final_iter = max(r["iteration"] for r in recs)
+    return [r for r in recs if r["iteration"] == final_iter]
 
 
 def do_report(args) -> None:
@@ -164,7 +188,7 @@ def do_report(args) -> None:
               f"{maps.mean():.3f}±{maps.std():.3f} | "
               f"{f1s.mean():.3f}±{f1s.std():.3f} |")
     ctrl = _collect(os.path.join(ws, "control_bn_momentum_0.5"),
-                    CONTROL_MODEL, args.batch_size)
+                    CONTROL_MODEL, args.batch_size, exclude_control=False)
     if ctrl:
         maps = np.array([r["at"]["mAP"] for r in ctrl])
         f1s = np.array([r["sed"]["f_measure"] for r in ctrl])
