@@ -146,7 +146,9 @@ def _build(args, for_train: bool):
         gen.mean = gen.std = None        # don't normalize on host
 
     state, tx = train_lib.create_train_state(
-        model, DEFAULT, learning_rate=args.learning_rate, seed=args.seed)
+        model, DEFAULT, learning_rate=args.learning_rate, seed=args.seed,
+        warmup_steps=getattr(args, "warmup_steps", None),
+        grad_clip=getattr(args, "grad_clip", None))
     mixup_alpha = 1.0 if "mixup" in args.augmentation else 0.0
     step = (train_lib.make_train_step(
         model, tx, loss_type=args.loss_type, frontend=frontend,
@@ -525,6 +527,17 @@ def _add_common(sp):
                              "mixup_specaugment"])
     sp.add_argument("--batch_size", type=int, default=32)
     sp.add_argument("--learning_rate", type=float, default=1e-3)
+    sp.add_argument("--warmup_steps", type=int, default=None,
+                    help="linear LR warmup steps; default: 500 for "
+                         "transformer variants (measured stability need), "
+                         "0 for everything else (reference recipe). Also "
+                         "affects the opt_state layout eval subcommands use "
+                         "to load checkpoints, so pass the same value there "
+                         "if it was non-default at train time")
+    sp.add_argument("--grad_clip", type=float, default=None,
+                    help="global-norm gradient clip; default: 1.0 for "
+                         "transformer variants, off otherwise (same "
+                         "checkpoint-layout note as --warmup_steps)")
     sp.add_argument("--seed", type=int, default=1234)
     sp.add_argument("--mini_data", type=int, default=0,
                     help="train on only the first N clips (quick runs; "
