@@ -48,9 +48,18 @@ def _descend(val, parts: List[str]):
             return None
         if isinstance(val, dict):
             # labels contain '.'-free words but DO contain spaces/commas;
-            # rejoin the remaining parts when the single part misses
-            if part not in val and ".".join(parts[i:]) in val:
-                return val[".".join(parts[i:])]
+            # rejoin the remaining parts when the single part misses, and
+            # accept the shell-friendly underscore spelling for label keys
+            # (same courtesy as the array branch below)
+            if part not in val:
+                for cand in (part.replace("_", " "),
+                             ".".join(parts[i:]),
+                             ".".join(parts[i:]).replace("_", " ")):
+                    if cand in val:
+                        if cand == part.replace("_", " "):
+                            part = cand
+                            break
+                        return val[cand]
             val = val.get(part)
         elif hasattr(val, "__getitem__"):
             if part.lstrip("-").isdigit():

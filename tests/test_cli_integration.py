@@ -299,7 +299,10 @@ def test_statistics_persist_full_per_class_metrics(workspace, capsys):
                    f"sed.class_wise.{labels[0]}.f_measure",
                    # underscore spelling of a spaced label (labels[2] is
                    # known-present in the fixture; labels[0] can be all-NaN)
-                   f"at.average_precision.{labels[2].replace(' ', '_')}"):
+                   f"at.average_precision.{labels[2].replace(' ', '_')}",
+                   # underscore spelling through a DICT step (class_wise is
+                   # keyed by the raw label strings, spaces and all)
+                   f"sed.class_wise.{labels[0].replace(' ', '_')}.f_measure"):
         xs, ys = plot_results._extract(records, metric, "test")
         assert xs, metric
         assert all(isinstance(y, float) for y in ys)
