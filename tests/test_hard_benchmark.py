@@ -82,3 +82,52 @@ def test_sub_workspace_symlinks_shared_features(tmp_path):
     assert os.path.isfile(os.path.join(sub, "features", "training.h5"))
     # idempotent
     assert hard_benchmark._sub_workspace(ws, "seed_42") == sub
+
+
+def test_mixup_no_targets_control_poisons_only_features():
+    """The mixup-bug control must mix features while leaving targets as the
+    primary example's (the planted bug), and must restore cleanly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sound_event_detection_dcase2017_task4_tpu import train as train_mod
+
+    orig = train_mod.mixup
+    try:
+        hard_benchmark.CONTROLS["mixup_no_targets"]()
+        rng = jax.random.PRNGKey(0)
+        x = jnp.arange(8.0).reshape(4, 2)
+        y = jnp.eye(4)
+        mx, my = train_mod.mixup(rng, x, y, alpha=1.0)
+        ox, oy = orig(rng, x, y, alpha=1.0)
+        assert jnp.allclose(mx, ox)          # features: the healthy mix
+        assert jnp.array_equal(my, y)        # targets: NOT mixed (the bug)
+        assert not jnp.array_equal(oy, y)    # healthy mixup does mix them
+    finally:
+        train_mod.mixup = orig
+
+
+def test_collect_finds_named_control_subworkspaces(tmp_path):
+    ws = str(tmp_path)
+    mt = hard_benchmark.CONTROL_MODEL
+    _write_run(os.path.join(ws, "seed_1234"), mt,
+               "2026-01-01_00-00-00", [_rec(3000, 0.9)])
+    _write_run(os.path.join(ws, "control_mixup_no_targets"), mt,
+               "2026-01-01_02-00-00", [_rec(3000, 0.6)])
+    healthy = hard_benchmark._collect(ws, mt, 32)
+    assert [r["at"]["mAP"] for r in healthy] == [0.9]
+    ctrl = hard_benchmark._collect(
+        os.path.join(ws, "control_mixup_no_targets"), mt, 32,
+        exclude_control=False)
+    assert [r["at"]["mAP"] for r in ctrl] == [0.6]
+
+
+def test_has_completed_run_resume_gate(tmp_path):
+    ws = str(tmp_path)
+    mt = "Cnn_9layers_AvgPooling"
+    assert not hard_benchmark._has_completed_run(ws, mt, 32, 3000)
+    _write_run(ws, mt, "2026-01-01_00-00-00", [_rec(0, 0.1), _rec(1500, 0.4)])
+    assert not hard_benchmark._has_completed_run(ws, mt, 32, 3000)  # partial
+    _write_run(ws, mt, "2026-01-01_01-00-00", [_rec(3000, 0.8)])
+    assert hard_benchmark._has_completed_run(ws, mt, 32, 3000)
+    assert not hard_benchmark._has_completed_run(ws, mt, 64, 3000)  # other bs
