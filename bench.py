@@ -191,21 +191,124 @@ def bench_cpu_reference() -> float:
     return cps
 
 
+METRIC_NAME = f"logmel+CRNN train throughput (10s clips, batch {BATCH})"
+
+# Backend-resilience knobs (round-3 verdict item 1b): the hosting TPU
+# tunnel has died twice at round boundaries — once fast-raising
+# UNAVAILABLE (BENCH_r03 rc=1) and once hanging jax.devices() forever.
+# Probe the backend in a bounded subprocess before committing the main
+# process to an in-process init that may never return.
+PROBE_TIMEOUT_S = int(os.environ.get("SEDX_BENCH_PROBE_TIMEOUT", 180))
+PROBE_ATTEMPTS = int(os.environ.get("SEDX_BENCH_PROBE_ATTEMPTS", 3))
+PROBE_BACKOFF_S = int(os.environ.get("SEDX_BENCH_PROBE_BACKOFF", 60))
+# cold Mosaic remote-compile can hit ~780 s (BASELINE.md); retry is shorter
+# because by then the persistent compile cache is warm
+BENCH_TIMEOUTS_S = tuple(int(x) for x in os.environ.get(
+    "SEDX_BENCH_TIMEOUTS", "1200,600").split(","))
+
+
+def _round_ratio(ratio: float) -> float:
+    """Two significant figures: the denominator is a 1-vCPU torch run whose
+    repeat noise is a few %, so more digits would be false precision —
+    the absolute clips/sec is the stable headline (docs quote "~1.5k×").
+    Sub-10 ratios keep two decimals so e.g. 0.5× doesn't round to 0."""
+    if ratio < 10:
+        return round(ratio, 2)
+    round_to = 10 ** max(0, len(str(int(ratio))) - 2)
+    return round(ratio / round_to) * round_to
+
+
+def _probe_backend() -> tuple[bool, str]:
+    """Try to initialize the default JAX backend in a bounded subprocess.
+
+    Returns (ok, detail). Retries with backoff: the tunnel sometimes
+    recovers within minutes. Never run this in-process — a hung backend
+    init is uninterruptible from Python."""
+    import subprocess
+
+    code = "import jax; print(jax.default_backend())"
+    last = ""
+    for attempt in range(1, PROBE_ATTEMPTS + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=PROBE_TIMEOUT_S, cwd=REPO)
+            if proc.returncode == 0:
+                backend = proc.stdout.strip().splitlines()[-1]
+                log(f"probe {attempt}/{PROBE_ATTEMPTS}: backend "
+                    f"'{backend}' up")
+                return True, backend
+            last = (proc.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+            last = last[0][:200]
+        except subprocess.TimeoutExpired:
+            last = f"backend init hung > {PROBE_TIMEOUT_S}s"
+        log(f"probe {attempt}/{PROBE_ATTEMPTS} failed: {last}")
+        if attempt < PROBE_ATTEMPTS:
+            time.sleep(PROBE_BACKOFF_S)
+    return False, last
+
+
+def _bench_tpu_subprocess() -> tuple[float | None, str]:
+    """Run bench_tpu() in a child (so a mid-bench tunnel death can't hang
+    this process), with one generous-timeout attempt and one shorter
+    retry (compiles are cached by then). Returns (clips_per_sec, err)."""
+    import subprocess
+    import tempfile
+
+    for i, t in enumerate(BENCH_TIMEOUTS_S):
+        out = tempfile.mktemp(suffix=".json")
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--tpu-child", out],
+                timeout=t, cwd=REPO)        # stdout/stderr inherited
+            if proc.returncode == 0 and os.path.isfile(out):
+                with open(out) as f:
+                    return json.load(f)["clips_per_sec"], ""
+            err = f"tpu bench child rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            err = f"tpu bench child timed out > {t}s"
+        finally:
+            if os.path.isfile(out):
+                os.unlink(out)
+        log(f"bench attempt {i + 1}/{len(BENCH_TIMEOUTS_S)} failed: {err}")
+        if i + 1 < len(BENCH_TIMEOUTS_S):
+            time.sleep(30)
+    return None, err
+
+
 def main():
     cpu_cps = bench_cpu_reference()
-    tpu_cps = bench_tpu()
-    # two significant figures: the denominator is a 1-vCPU torch run whose
-    # repeat noise is a few %, so more digits would be false precision —
-    # the absolute clips/sec is the stable headline (docs quote "~1.5k×")
-    ratio = tpu_cps / cpu_cps
-    round_to = 10 ** max(0, len(str(int(ratio))) - 2)
+    ok, detail = _probe_backend()
+    if not ok:
+        # machine-readable failure record instead of a traceback — the
+        # round's BENCH artifact stays parseable even with the tunnel dead
+        print(json.dumps({
+            "metric": METRIC_NAME, "value": None, "unit": "clips/sec",
+            "vs_baseline": None,
+            "error": f"TPU backend unavailable after {PROBE_ATTEMPTS} "
+                     f"probes: {detail}",
+        }))
+        return
+    tpu_cps, err = _bench_tpu_subprocess()
+    if tpu_cps is None:
+        print(json.dumps({
+            "metric": METRIC_NAME, "value": None, "unit": "clips/sec",
+            "vs_baseline": None, "error": err,
+        }))
+        return
     print(json.dumps({
-        "metric": f"logmel+CRNN train throughput (10s clips, batch {BATCH})",
+        "metric": METRIC_NAME,
         "value": round(tpu_cps, 1),
         "unit": "clips/sec",
-        "vs_baseline": round(ratio / round_to) * round_to,
+        "vs_baseline": _round_ratio(tpu_cps / cpu_cps),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--tpu-child":
+        cps = bench_tpu()
+        with open(sys.argv[2], "w") as f:
+            json.dump({"clips_per_sec": cps}, f)
+    else:
+        main()

@@ -356,7 +356,23 @@ def main(argv=None) -> int:
     p.add_argument("--survey_patch", default="SURVEY_PATCH.md",
                    help="where to write the ready-to-apply SURVEY.md "
                         "correction list when stage-1 finds divergences")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                   help="JAX platform for the verification stages. 'cpu' "
+                        "(default) makes this host-side harness immune to "
+                        "a hung/dead TPU tunnel — round 3's dry-mode CLI "
+                        "died on 'axon' UNAVAILABLE exactly because it "
+                        "inherited the default backend it never needed.")
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"     # also inherited by children
+        if "jax" in sys.modules:                # imported before main(): try
+            import jax                          # the pre-init config route
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass                            # backend already up; keep it
 
     results = []
     tree_results = stage_tree(args.reference)
