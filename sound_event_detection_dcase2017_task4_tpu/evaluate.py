@@ -112,11 +112,18 @@ class Evaluator:
             # the generator may be truncated (training-time eval with
             # --eval_max_iteration): score exactly the evaluated prefix —
             # both the estimates AND the ground truth are restricted to it,
-            # or every unevaluated file would count as pure deletions
+            # or every unevaluated file would count as pure deletions. In a
+            # FULL eval the ground truth must stay the complete dict: a gt
+            # file missing from audio_names is a real deletion, and dropping
+            # it would silently inflate segment F1 (union-of-files
+            # semantics, as in sed_fast / optimize_sed_thresholds).
             names = list(audio_names)[: len(events)]
             est = {names[i]: events[i] for i in range(len(names))}
-            ref = {n: ground_truth_events[n] for n in names
-                   if n in ground_truth_events}
+            if len(events) < len(audio_names):
+                ref = {n: ground_truth_events[n] for n in names
+                       if n in ground_truth_events}
+            else:
+                ref = ground_truth_events
             result["sed"] = scoring.segment_based_metrics(
                 ref, est, self.clip_duration, 1.0, self.labels)
             result["est_events"] = est

@@ -226,9 +226,11 @@ def main(argv=None) -> None:
     py.add_argument("--clip_seconds", type=float, default=None)
     py.add_argument("--profile", default="easy", choices=["easy", "hard"],
                     help="'easy' saturates quickly (smoke tests); 'hard' is "
-                         "the discriminative benchmark — confusable class "
-                         "families, overlapping events, -10..15 dB SNR, "
-                         "unlabeled distractors, class imbalance")
+                         "the discriminative benchmark (v2 calibration, see "
+                         "data/synth.py) — confusable class families, "
+                         "overlapping short events (0.4-2.5 s), -16..+8 dB "
+                         "per-event SNR, >=1 unlabeled distractor per clip, "
+                         "class imbalance, background-only clips")
     py.add_argument("--use_pallas", action="store_true")
     py.add_argument("--metadata_only", action="store_true",
                     help="skip writing WAV files (features only)")

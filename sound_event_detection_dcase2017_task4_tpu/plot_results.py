@@ -91,9 +91,17 @@ def _extract(records: list, metric: str, data_type: str):
         if rec.get("data_type") != data_type or group not in rec:
             continue
         val = _descend(rec[group], parts[1:])
-        if val is not None and not (isinstance(val, float) and val != val):
-            xs.append(rec["iteration"])
-            ys.append(float(val))
+        if val is None or (isinstance(val, float) and val != val):
+            continue
+        try:
+            scalar = float(val)
+        except (TypeError, ValueError):
+            # dotted path resolved to a non-scalar (e.g. a per-class array
+            # when the class segment was omitted) — skip so the user gets
+            # the friendly "no curves" guidance, not a traceback
+            continue
+        xs.append(rec["iteration"])
+        ys.append(scalar)
     return xs, ys
 
 

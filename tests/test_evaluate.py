@@ -311,3 +311,39 @@ def test_evaluator_truncated_generator_scores_evaluated_prefix():
     cw = res["sed"]["class_wise"][labels[0]]
     assert cw["nref"] == n_eval
     assert cw["nfn"] == n_eval
+
+
+def test_evaluator_full_eval_keeps_union_ground_truth():
+    """In a FULL (untruncated) eval, a ground-truth file absent from
+    audio_names must still score as deletions — restricting ref to the
+    evaluated names would silently inflate segment F1 (round-4 advisor
+    finding; union-of-files semantics as in sed_fast /
+    optimize_sed_thresholds)."""
+    import numpy as np
+
+    from sound_event_detection_dcase2017_task4_tpu.config import labels
+    from sound_event_detection_dcase2017_task4_tpu.evaluate import Evaluator
+
+    n_eval, t = 4, 50
+    rng = np.random.RandomState(0)
+
+    def eval_step(state, batch_x):
+        b = batch_x.shape[0]
+        return {"clipwise_output": np.full((b, 17), 0.1, np.float32),
+                "framewise_output": np.zeros((b, t, 17), np.float32)}
+
+    def gen():
+        for i in range(0, n_eval, 2):
+            yield (rng.randn(2, t, 64).astype(np.float32),
+                   np.zeros((2, 17), np.float32))
+
+    names = [f"clip{i}.wav" for i in range(n_eval)]
+    # one extra gt file that was never evaluated (e.g. decode failure)
+    gt = {n: [(0.1, 0.3, labels[0])] for n in names + ["missing.wav"]}
+    ev = Evaluator(eval_step, labels, frames_per_second=100)
+    res = ev.evaluate(None, gen(), audio_names=names,
+                      ground_truth_events=gt)
+    assert set(res["est_events"]) == set(names)
+    cw = res["sed"]["class_wise"][labels[0]]
+    assert cw["nref"] == n_eval + 1     # missing.wav stays in scope
+    assert cw["nfn"] == n_eval + 1      # and counts as a deletion
