@@ -15,6 +15,7 @@ not saved there). File naming keeps the reference's
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
@@ -22,14 +23,24 @@ import jax
 import numpy as np
 from flax import serialization
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
+           "load_opt_config", "check_opt_config"]
 
 _FNAME = "{iteration}_iterations.ckpt"
 _RE = re.compile(r"^(\d+)_iterations\.ckpt$")
 
 
-def save_checkpoint(directory: str, state, iteration: int | None = None) -> str:
-    """Serialize ``state`` to ``<directory>/<iteration>_iterations.ckpt``."""
+def save_checkpoint(directory: str, state, iteration: int | None = None,
+                    opt_config: dict | None = None) -> str:
+    """Serialize ``state`` to ``<directory>/<iteration>_iterations.ckpt``.
+
+    ``opt_config`` (the resolved optimizer recipe — see
+    ``train.resolve_opt_config``) is written to a ``.optjson`` sidecar so
+    eval/serving can reconstruct the exact ``opt_state`` pytree layout
+    without the caller re-passing ``--warmup_steps``/``--grad_clip``
+    (round-3 verdict: warmup/clip silently fork the checkpoint layout per
+    model family).
+    """
     if iteration is None:
         iteration = int(jax.device_get(state.step))
     os.makedirs(directory, exist_ok=True)
@@ -39,15 +50,59 @@ def save_checkpoint(directory: str, state, iteration: int | None = None) -> str:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)                      # atomic: no torn checkpoints
+    if opt_config is not None:
+        side = _sidecar_path(path)
+        with open(side + ".tmp", "w") as f:
+            json.dump(opt_config, f)
+        os.replace(side + ".tmp", side)
     return path
 
 
-def load_checkpoint(path: str, state_template):
+def _sidecar_path(ckpt_path: str) -> str:
+    return ckpt_path[: -len(".ckpt")] + ".optjson" \
+        if ckpt_path.endswith(".ckpt") else ckpt_path + ".optjson"
+
+
+def load_opt_config(ckpt_path: str) -> dict | None:
+    """The ``.optjson`` optimizer recipe saved next to ``ckpt_path``
+    (None for pre-round-4 checkpoints, which have no sidecar)."""
+    side = _sidecar_path(ckpt_path)
+    if not os.path.isfile(side):
+        return None
+    with open(side) as f:
+        return json.load(f)
+
+
+def check_opt_config(ckpt_path: str, expected: dict) -> None:
+    """Raise with a clear message if the checkpoint's recorded optimizer
+    recipe disagrees with ``expected`` — a mismatch means the caller's
+    opt_state template has a different pytree layout and deserialization
+    would fail (or worse, silently mis-map leaves)."""
+    saved = load_opt_config(ckpt_path)
+    if saved is None:
+        return                                  # legacy checkpoint: trust caller
+    diffs = {k: (saved.get(k), expected.get(k))
+             for k in set(saved) | set(expected)
+             if saved.get(k) != expected.get(k)}
+    if diffs:
+        raise ValueError(
+            f"optimizer config mismatch for {ckpt_path}: the checkpoint "
+            f"was written with {saved} but this run resolved {expected} "
+            f"(differing keys: {diffs}). Re-run with matching "
+            "--learning_rate/--warmup_steps/--grad_clip, or drop the "
+            "flags to auto-adopt the checkpoint's recorded recipe.")
+
+
+def load_checkpoint(path: str, state_template, opt_config: dict | None = None):
     """Restore a :class:`TrainState` pytree from ``path``.
 
     ``state_template`` supplies the pytree structure/shapes (create it with
-    ``create_train_state`` on the same model/optimizer config).
+    ``create_train_state`` on the same model/optimizer config). Passing the
+    resolved ``opt_config`` validates it against the checkpoint's recorded
+    recipe first (see :func:`check_opt_config`).
     """
+    if opt_config is not None:
+        check_opt_config(path, opt_config)
     with open(path, "rb") as f:
         data = f.read()
     state = serialization.from_bytes(jax.device_get(state_template), data)

@@ -145,10 +145,15 @@ def _build(args, for_train: bool):
     if feature_source == "waveform":
         gen.mean = gen.std = None        # don't normalize on host
 
+    lr = (args.learning_rate if getattr(args, "learning_rate", None)
+          is not None else 1e-3)
     state, tx = train_lib.create_train_state(
-        model, DEFAULT, learning_rate=args.learning_rate, seed=args.seed,
+        model, DEFAULT, learning_rate=lr, seed=args.seed,
         warmup_steps=getattr(args, "warmup_steps", None),
         grad_clip=getattr(args, "grad_clip", None))
+    opt_config = train_lib.resolve_opt_config(
+        model, lr, getattr(args, "warmup_steps", None),
+        getattr(args, "grad_clip", None))
     mixup_alpha = 1.0 if "mixup" in args.augmentation else 0.0
     step = (train_lib.make_train_step(
         model, tx, loss_type=args.loss_type, frontend=frontend,
@@ -160,7 +165,7 @@ def _build(args, for_train: bool):
                                          scalar=dev_scalar)
     return dict(gen=gen, model=model, state=state, tx=tx, step=step,
                 eval_step=eval_step, train_reader=train_reader,
-                test_reader=test_reader)
+                test_reader=test_reader, opt_config=opt_config)
 
 
 def _save_data_state(ckpt_dir: str, gen, iteration: int) -> None:
@@ -194,7 +199,8 @@ def do_train(args) -> None:
     if args.resume_iteration > 0:
         ckpt = os.path.join(paths["checkpoints"],
                             f"{args.resume_iteration}_iterations.ckpt")
-        state = checkpoints.load_checkpoint(ckpt, state)
+        state = checkpoints.load_checkpoint(ckpt, state,
+                                            opt_config=ctx["opt_config"])
         state = jax.device_put(state, replicated_sharding(mesh))
         logger.info("resumed from %s", ckpt)
         # preserve the pre-resume metric history so plot curves keep their
@@ -268,7 +274,8 @@ def do_train(args) -> None:
                 logger.info(msg)
                 statistics.append(it, stats, split)
             statistics.dump()
-            checkpoints.save_checkpoint(paths["checkpoints"], state, it)
+            checkpoints.save_checkpoint(paths["checkpoints"], state, it,
+                                        opt_config=ctx["opt_config"])
             _save_data_state(paths["checkpoints"], gen, it)
             eval_time = time.time() - t0 - train_time
             if it > 0 and train_time > 0:
@@ -311,13 +318,13 @@ def do_train(args) -> None:
                         float(jax.device_get(metrics["loss"])))
         it += 1
 
-    checkpoints.save_checkpoint(paths["checkpoints"], state, it)
+    checkpoints.save_checkpoint(paths["checkpoints"], state, it,
+                                opt_config=ctx["opt_config"])
     _save_data_state(paths["checkpoints"], gen, it)
     logger.info("done at iter %d", it)
 
 
-def _load_state_for_eval(args, ctx, paths):
-    state = ctx["state"]
+def _resolve_ckpt(args, paths) -> str:
     if args.iteration is not None:
         ckpt = os.path.join(paths["checkpoints"],
                             f"{args.iteration}_iterations.ckpt")
@@ -326,7 +333,29 @@ def _load_state_for_eval(args, ctx, paths):
     if ckpt is None:
         raise FileNotFoundError(
             f"no checkpoint under {paths['checkpoints']}")
-    return checkpoints.load_checkpoint(ckpt, state), ckpt
+    return ckpt
+
+
+def _adopt_ckpt_opt_config(args, ckpt: str) -> None:
+    """Adopt the checkpoint's recorded optimizer recipe for any
+    --warmup_steps/--grad_clip the user left unset, so eval subcommands
+    deserialize transformer checkpoints without re-passing flags
+    (round-3 verdict: the flags silently forked the opt_state layout).
+    Explicitly-passed values are kept — a mismatch then errors clearly in
+    ``checkpoints.check_opt_config``."""
+    saved = checkpoints.load_opt_config(ckpt)
+    if saved is None:
+        return
+    for key in ("learning_rate", "warmup_steps", "grad_clip"):
+        if getattr(args, key, None) is None and key in saved:
+            setattr(args, key, saved[key])
+
+
+def _load_state_for_eval(args, ctx, paths, ckpt: str | None = None):
+    ckpt = ckpt or _resolve_ckpt(args, paths)
+    state = checkpoints.load_checkpoint(ckpt, ctx["state"],
+                                        opt_config=ctx["opt_config"])
+    return state, ckpt
 
 
 def do_inference(args) -> None:
@@ -334,8 +363,10 @@ def do_inference(args) -> None:
     consumed by calculate_metrics / optimize_*_thresholds)."""
     paths = _paths(args)
     create_folder(paths["predictions"])
+    ckpt = _resolve_ckpt(args, paths)
+    _adopt_ckpt_opt_config(args, ckpt)      # no flags needed for transformers
     ctx = _build(args, for_train=False)
-    state, ckpt = _load_state_for_eval(args, ctx, paths)
+    state, ckpt = _load_state_for_eval(args, ctx, paths, ckpt)
     data_type = args.data_type
 
     if data_type in ("testing", "validate", "test"):
@@ -526,18 +557,20 @@ def _add_common(sp):
                     choices=["none", "mixup", "specaugment",
                              "mixup_specaugment"])
     sp.add_argument("--batch_size", type=int, default=32)
-    sp.add_argument("--learning_rate", type=float, default=1e-3)
+    sp.add_argument("--learning_rate", type=float, default=None,
+                    help="default 1e-3 (reference recipe); eval subcommands "
+                         "auto-adopt the checkpoint's recorded value")
     sp.add_argument("--warmup_steps", type=int, default=None,
                     help="linear LR warmup steps; default: 500 for "
                          "transformer variants (measured stability need), "
-                         "0 for everything else (reference recipe). Also "
-                         "affects the opt_state layout eval subcommands use "
-                         "to load checkpoints, so pass the same value there "
-                         "if it was non-default at train time")
+                         "0 for everything else (reference recipe). The "
+                         "resolved value is recorded in the checkpoint's "
+                         ".optjson sidecar, and eval subcommands auto-adopt "
+                         "it — only pass this flag to override")
     sp.add_argument("--grad_clip", type=float, default=None,
                     help="global-norm gradient clip; default: 1.0 for "
-                         "transformer variants, off otherwise (same "
-                         "checkpoint-layout note as --warmup_steps)")
+                         "transformer variants, off otherwise (recorded in "
+                         "the checkpoint sidecar like --warmup_steps)")
     sp.add_argument("--seed", type=int, default=1234)
     sp.add_argument("--mini_data", type=int, default=0,
                     help="train on only the first N clips (quick runs; "

@@ -12,12 +12,34 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["enable_compile_cache"]
+__all__ = ["enable_compile_cache", "honor_platform_env"]
+
+
+def honor_platform_env() -> None:
+    """Re-assert the caller's ``JAX_PLATFORMS`` env request.
+
+    This image's sitecustomize imports jax at interpreter startup and
+    programmatically sets ``jax_platforms="axon,cpu"`` — which silently
+    OVERRIDES a ``JAX_PLATFORMS=cpu`` env var set by the launching process
+    (config beats env once set). A CLI launched with the env var to avoid
+    a dead TPU tunnel would still block on the axon backend. Called from
+    :func:`enable_compile_cache` (i.e. by every CLI) before first backend
+    use; a no-op when the env var is unset or the backend is already up.
+    """
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and want != jax.config.jax_platforms:
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass  # backend already initialized: too late, leave it
 
 
 def enable_compile_cache(path: str | None = None) -> None:
     import jax
 
+    honor_platform_env()
     cache_dir = path or os.environ.get(
         "SEDX_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "sedx_jax"))

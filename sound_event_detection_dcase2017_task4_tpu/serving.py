@@ -85,7 +85,6 @@ class Predictor:
             dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
                      else jnp.float32)
         model = get_model(model_type, dtype=dtype)
-        state, _ = train_lib.create_train_state(model, cfg)
         ckpt_dir = os.path.join(workspace, "checkpoints", "main",
                                 f"model_type={model_type}", run_config)
         path = (os.path.join(ckpt_dir, f"{iteration}_iterations.ckpt")
@@ -93,6 +92,17 @@ class Predictor:
                 else checkpoints.latest_checkpoint(ckpt_dir))
         if path is None:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        # build the opt_state template from the checkpoint's recorded
+        # optimizer recipe (the .optjson sidecar) so runs trained with
+        # non-default --warmup_steps/--grad_clip deserialize without the
+        # caller knowing the flags; legacy sidecar-less checkpoints fall
+        # back to the model-derived defaults (matches pre-round-4 behavior)
+        saved = checkpoints.load_opt_config(path) or {}
+        state, _ = train_lib.create_train_state(
+            model, cfg,
+            learning_rate=saved.get("learning_rate", 1e-3),
+            warmup_steps=saved.get("warmup_steps"),
+            grad_clip=saved.get("grad_clip"))
         state = checkpoints.load_checkpoint(path, state)
         scalar = load_scalar(os.path.join(workspace, "scalars", "training.h5"))
         if sed_params is None:

@@ -35,7 +35,8 @@ from .config import Config, DEFAULT
 from .losses import get_loss_func
 
 __all__ = ["TrainState", "create_train_state", "default_optimizer",
-           "make_train_step", "make_eval_step", "mixup", "spec_augment"]
+           "resolve_opt_config", "make_train_step", "make_eval_step",
+           "mixup", "spec_augment"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -59,6 +60,26 @@ TRANSFORMER_WARMUP_STEPS = 500
 TRANSFORMER_GRAD_CLIP = 1.0
 
 
+def resolve_opt_config(
+    model,
+    learning_rate: float = 1e-3,
+    warmup_steps: Optional[int] = None,
+    grad_clip: Optional[float] = None,
+) -> dict:
+    """The EFFECTIVE optimizer recipe after model-derived defaulting —
+    the dict recorded in the checkpoint's ``.optjson`` sidecar
+    (``checkpoints.save_checkpoint``) so eval/serving can rebuild the
+    exact ``opt_state`` layout without re-passing CLI flags."""
+    is_transformer = getattr(model, "seq", None) == "transformer"
+    if warmup_steps is None:
+        warmup_steps = TRANSFORMER_WARMUP_STEPS if is_transformer else 0
+    if grad_clip is None:
+        grad_clip = TRANSFORMER_GRAD_CLIP if is_transformer else 0.0
+    return {"learning_rate": float(learning_rate),
+            "warmup_steps": int(warmup_steps),
+            "grad_clip": float(grad_clip)}
+
+
 def default_optimizer(
     model,
     learning_rate: float = 1e-3,
@@ -73,13 +94,11 @@ def default_optimizer(
     a structurally identical ``opt_state`` for a given ``model_type`` and
     checkpoints interchange. NOTE: warmup/clip change the opt_state pytree
     (schedule count + clip stage), so transformer checkpoints written before
-    round 3 need retraining — acceptable pre-1.0.
+    round 3 need retraining — acceptable pre-1.0. Round 4 records the
+    resolved recipe in a checkpoint sidecar (:func:`resolve_opt_config`).
     """
-    is_transformer = getattr(model, "seq", None) == "transformer"
-    if warmup_steps is None:
-        warmup_steps = TRANSFORMER_WARMUP_STEPS if is_transformer else 0
-    if grad_clip is None:
-        grad_clip = TRANSFORMER_GRAD_CLIP if is_transformer else 0.0
+    rc = resolve_opt_config(model, learning_rate, warmup_steps, grad_clip)
+    warmup_steps, grad_clip = rc["warmup_steps"], rc["grad_clip"]
     lr = (optax.linear_schedule(0.0, learning_rate, warmup_steps)
           if warmup_steps else learning_rate)
     tx = optax.adam(lr, b1=0.9, b2=0.999)

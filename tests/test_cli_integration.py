@@ -321,3 +321,40 @@ def test_statistics_persist_full_per_class_metrics(workspace, capsys):
                        f"--out={out_png}"])
     captured = capsys.readouterr().out
     assert os.path.isfile(out_png) or "#" in captured   # png or text mode
+
+
+def test_transformer_checkpoint_sidecar_no_flags_eval(workspace, capsys):
+    """Round-4 verdict item 6: a transformer run trained with NON-default
+    --warmup_steps/--grad_clip records the resolved recipe in the
+    checkpoint's .optjson sidecar, and eval subcommands auto-adopt it —
+    no flags re-passed, no opt_state layout mismatch."""
+    tr = ["--model_type=Cnn_9layers_Transformer_FrameAtt", "--batch_size=4"]
+    main.main(["train", f"--workspace={workspace}", *tr,
+               "--warmup_steps=7", "--grad_clip=0.25",
+               "--stop_iteration=2", "--eval_interval=2",
+               "--eval_max_iteration=1"])
+    ckpt_dir = os.path.join(
+        workspace, "checkpoints", "main",
+        "model_type=Cnn_9layers_Transformer_FrameAtt", "loss_type=clip_bce",
+        "augmentation=none", "batch_size=4")
+    side = os.path.join(ckpt_dir, "2_iterations.optjson")
+    assert os.path.isfile(side)
+    import json
+    with open(side) as f:
+        assert json.load(f) == {"learning_rate": 1e-3, "warmup_steps": 7,
+                                "grad_clip": 0.25}
+
+    # inference WITHOUT the flags: sidecar auto-adopt must make the
+    # opt_state template match (pre-round-4 this needed the flags)
+    main.main(["inference", f"--workspace={workspace}", *tr,
+               "--data_type=testing"])
+    pred = os.path.join(
+        workspace, "predictions", "main",
+        "model_type=Cnn_9layers_Transformer_FrameAtt", "loss_type=clip_bce",
+        "augmentation=none", "batch_size=4", "testing.pickle")
+    assert os.path.isfile(pred)
+
+    # an explicitly MISMATCHED flag errors with the clear message
+    with pytest.raises(ValueError, match="optimizer config mismatch"):
+        main.main(["inference", f"--workspace={workspace}", *tr,
+                   "--warmup_steps=99", "--data_type=testing"])

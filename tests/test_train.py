@@ -213,3 +213,54 @@ def test_warmup_overrides_disable(tmp_path):
     same = jax.tree_util.tree_structure(state.opt_state) == \
         jax.tree_util.tree_structure(plain)
     assert same
+
+
+def test_opt_config_sidecar_roundtrip(tiny_model, tmp_path):
+    """Round-4 verdict item 6: the resolved optimizer recipe is recorded
+    next to the checkpoint and validated (or auto-adopted) on load, so
+    non-default --warmup_steps/--grad_clip never silently fork the
+    opt_state layout for eval/serving."""
+    cfg = Config()
+    state, _ = train.create_train_state(
+        tiny_model, cfg, example_frames=96, learning_rate=5e-4,
+        warmup_steps=123, grad_clip=0.5)
+    oc = train.resolve_opt_config(tiny_model, 5e-4, 123, 0.5)
+    path = checkpoints.save_checkpoint(str(tmp_path), state, opt_config=oc)
+    assert checkpoints.load_opt_config(path) == {
+        "learning_rate": 5e-4, "warmup_steps": 123, "grad_clip": 0.5}
+
+    # serving-style reload: build the template FROM the sidecar, no flags
+    saved = checkpoints.load_opt_config(path)
+    template, _ = train.create_train_state(
+        tiny_model, cfg, example_frames=96,
+        learning_rate=saved["learning_rate"],
+        warmup_steps=saved["warmup_steps"], grad_clip=saved["grad_clip"])
+    restored = checkpoints.load_checkpoint(path, template, opt_config=saved)
+    assert jax.tree_util.tree_structure(restored.opt_state) \
+        == jax.tree_util.tree_structure(state.opt_state)
+
+    # a mismatched recipe errors clearly instead of mis-deserializing
+    bad = train.resolve_opt_config(tiny_model, 1e-3, None, None)
+    with pytest.raises(ValueError, match="optimizer config mismatch"):
+        checkpoints.load_checkpoint(path, template, opt_config=bad)
+
+    # legacy (sidecar-less) checkpoints stay loadable with any opt_config
+    legacy_dir = tmp_path / "legacy"
+    legacy = checkpoints.save_checkpoint(str(legacy_dir), state)
+    assert checkpoints.load_opt_config(legacy) is None
+    checkpoints.check_opt_config(legacy, bad)   # no raise
+
+
+def test_transformer_resolve_opt_config_defaults():
+    """Transformer variants get the measured stability defaults; everything
+    else keeps the byte-identical reference recipe."""
+    from sound_event_detection_dcase2017_task4_tpu.models import get_model
+
+    tr = get_model("Cnn_9layers_Transformer_FrameAtt")
+    assert train.resolve_opt_config(tr) == {
+        "learning_rate": 1e-3,
+        "warmup_steps": train.TRANSFORMER_WARMUP_STEPS,
+        "grad_clip": train.TRANSFORMER_GRAD_CLIP}
+    cnn = get_model("Cnn_9layers_AvgPooling")
+    assert train.resolve_opt_config(cnn) == {
+        "learning_rate": 1e-3, "warmup_steps": 0, "grad_clip": 0.0}

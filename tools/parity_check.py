@@ -366,13 +366,16 @@ def main(argv=None) -> int:
 
     if args.platform == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"     # also inherited by children
-        if "jax" in sys.modules:                # imported before main(): try
-            import jax                          # the pre-init config route
+        # env alone is NOT enough on this image: sitecustomize imports jax
+        # at interpreter startup and sets jax_platforms="axon,cpu"
+        # programmatically, which overrides the env var. Re-assert via the
+        # config (works pre-backend-init; see runtime.honor_platform_env).
+        import jax
 
-            try:
-                jax.config.update("jax_platforms", "cpu")
-            except Exception:
-                pass                            # backend already up; keep it
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass                                # backend already up; keep it
 
     results = []
     tree_results = stage_tree(args.reference)
