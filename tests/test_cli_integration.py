@@ -11,6 +11,10 @@ import pytest
 from sound_event_detection_dcase2017_task4_tpu import features, main
 from sound_event_detection_dcase2017_task4_tpu.data.hdf5 import read_split
 
+# CPU-compile-heavy: excluded from the fast tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

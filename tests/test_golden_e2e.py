@@ -15,6 +15,12 @@ from sound_event_detection_dcase2017_task4_tpu.data import make_synthetic_datase
 from sound_event_detection_dcase2017_task4_tpu.models import SedCnn
 from sound_event_detection_dcase2017_task4_tpu.ops.stft import make_logmel_fn
 
+import pytest
+
+# CPU-compile-heavy: excluded from the fast tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
 

@@ -16,6 +16,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import hard_benchmark  # noqa: E402
 
+import pytest
+
+# CPU-compile-heavy: excluded from the fast tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
+
 
 def _write_run(ws, model, ts, records, batch_size=32):
     d = os.path.join(ws, "statistics", "main", f"model_type={model}",

@@ -13,6 +13,9 @@ from sound_event_detection_dcase2017_task4_tpu.models import SedCnn
 from sound_event_detection_dcase2017_task4_tpu.parallel import (
     batch_sharding, make_mesh, replicated_sharding, shard_batch)
 
+# CPU-compile-heavy: excluded from the fast tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 CLASSES = 17
 
 

@@ -117,3 +117,26 @@ def test_survey_patch_emitted_on_divergence(tmp_path):
     assert not parity_check.write_survey_patch(
         ok_rows, str(tmp_path / "none.md"))
     assert not os.path.isfile(str(tmp_path / "none.md"))
+
+
+def test_ledger_json_schema():
+    """--ledger emits the machine-readable parity-risk work order
+    (round-4 verdict item 5): valid JSON, one entry per reconstructed
+    choice, each naming its verification stage."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parity_check.py"),
+         "--ledger"], capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    import json
+    led = json.loads(proc.stdout)
+    assert len(led) >= 10
+    for e in led:
+        assert set(e) == {"id", "choice", "ours", "risk", "verify",
+                          "verify_how"}, e["id"]
+        assert e["verify"] in ("tree", "bitcompat", "dataset")
+    # the ids the round-3 verdict called out by name are all present
+    ids = {e["id"] for e in led}
+    assert {"log_top_db", "sed_params_dict", "decode_order",
+            "subcommand_spelling", "holdout_fold", "attblock_clamp"} <= ids
+    # dry run itemizes the same ledger as SKIP rows
+    assert len(parity_check.stage_ledger()) == len(led)

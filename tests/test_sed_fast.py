@@ -18,6 +18,9 @@ from sound_event_detection_dcase2017_task4_tpu.config import labels
 from sound_event_detection_dcase2017_task4_tpu.sed_fast import (
     DeviceSegmentScorer, binarize_dynamic)
 
+# CPU-compile-heavy: excluded from the fast tier (pytest -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("seed", range(4))
 def test_binarize_dynamic_matches_numpy(seed):

@@ -76,6 +76,140 @@ EXPECTED_CONSTANTS = {
 DCASE_SPLIT_SIZES = {"training": (40000, 60000), "testing": (400, 600),
                      "evaluation": (900, 1400)}
 
+# ---------------------------------------------------------------------------
+# Parity-risk ledger (round-4 verdict item 5): every RECONSTRUCTED semantic
+# choice that could diverge from the real reference, with where we chose it
+# and which stage of this tool will verify it the moment the mount/corpus
+# populates. This is the work order for parity-on-arrival — emit it with
+# ``--ledger`` (JSON) and keep PARITY.md's table in sync (generated from
+# this list).
+PARITY_LEDGER = [
+    {"id": "log_top_db",
+     "choice": "power_to_db top_db clamp disabled (log_top_db=None)",
+     "ours": "config.py:Config.log_top_db = None",
+     "risk": "librosa.power_to_db's own default is top_db=80; if the "
+             "reference passes no explicit top_db its features are clamped "
+             "to [max-80, max] and quiet-clip features diverge",
+     "verify": "bitcompat",
+     "verify_how": "frontend compare on fixed-seed audio incl. a near-"
+                   "silent clip (max |d| would be unbounded if wrong)"},
+    {"id": "sed_params_dict",
+     "choice": "decode defaults high=0.5 low=0.2 n_smooth=10 n_salt=10",
+     "ours": "sed.py:sed_params_dict",
+     "risk": "values reconstructed from paper conventions; any other "
+             "defaults change every SED metric and the tuned-search "
+             "starting point",
+     "verify": "tree",
+     "verify_how": "parse utilities.py sed_params_dict literal and diff"},
+    {"id": "decode_order",
+     "choice": "decode pipeline order: hysteresis binarize -> smooth "
+               "(fill gaps < n_smooth) -> de-salt (drop runs < n_salt) "
+               "-> run extraction",
+     "ours": "sed.py:binarize/frame_prediction_to_event_prediction",
+     "risk": "smooth/de-salt commute only on some inputs; reversed order "
+             "yields different event lists at block boundaries",
+     "verify": "bitcompat",
+     "verify_how": "decoded (onset, offset, label) tuples must be "
+                   "IDENTICAL on fixed-seed frame probabilities"},
+    {"id": "subcommand_spelling",
+     "choice": "CLI subcommands train/inference(+alias inference_prob)/"
+               "calculate_metrics/optimize_{at,sed}_thresholds",
+     "ours": "main.py argparse tree",
+     "risk": "reconstructed from README conventions; a different spelling "
+             "breaks drop-in runme.sh compatibility",
+     "verify": "tree",
+     "verify_how": "grep the real pytorch/main.py subparsers + runme.sh"},
+    {"id": "holdout_fold",
+     "choice": "round-robin fold assignment (idx % 4 == fold-1 is held "
+               "out), holdout split used as validation",
+     "ours": "data/hdf5.py:holdout_indices",
+     "risk": "the reference may use contiguous blocks or a stored fold "
+             "column; different membership changes every validation metric",
+     "verify": "tree",
+     "verify_how": "read data_generator.py fold logic and diff membership "
+                   "on a synthetic index range"},
+    {"id": "attblock_clamp",
+     "choice": "attention logits clipped to [-10, 10] before time-softmax",
+     "ours": "models/blocks.py:AttBlock",
+     "risk": "the reference may clamp to a different range (or use "
+             "clamp-after-exp); affects saturated-attention gradients",
+     "verify": "tree",
+     "verify_how": "read pytorch/models.py AttBlock forward"},
+    {"id": "stft_convention",
+     "choice": "periodic Hann window, center=True, reflect padding, "
+               "one-sided power spectrum",
+     "ours": "ops/stft.py + ops/dsp.py",
+     "risk": "librosa defaults reconstructed; symmetric window or "
+             "constant padding shifts every frame's energy",
+     "verify": "bitcompat",
+     "verify_how": "frontend compare (linear-domain rtol 2e-3) vs the "
+                   "reference LogMelExtractor on fixed audio"},
+    {"id": "mel_filterbank",
+     "choice": "Slaney-normalized triangular mel bank, htk=False, "
+               "fmin=50, fmax=14000, 64 bins",
+     "ours": "ops/dsp.py:mel_filterbank",
+     "risk": "htk=True or norm=None changes per-bin gains",
+     "verify": "bitcompat",
+     "verify_how": "compare filterbank matrices elementwise"},
+    {"id": "frames_per_second",
+     "choice": "fps=100 (hop 320 @ 32 kHz); 10-s clip -> 1001 center-"
+               "padded frames; framewise upsample ratio pow(2, n_pools)",
+     "ours": "config.py:frames_num / models/blocks.py:interpolate",
+     "risk": "an off-by-one in frames_num breaks submission alignment",
+     "verify": "bitcompat",
+     "verify_how": "frontend output shape + event onset/offset seconds "
+                   "must match on fixed audio"},
+    {"id": "bn_momentum",
+     "choice": "BatchNorm momentum 0.9 in flax convention (= torch "
+               "momentum 0.1), eps 1e-5",
+     "ours": "models/blocks.py:BatchNorm",
+     "risk": "torch BatchNorm2d default momentum=0.1; if the reference "
+             "overrides it, eval-mode stats converge differently",
+     "verify": "dataset",
+     "verify_how": "full quality-parity training run (BASELINE.md "
+                   "UNVERIFIED rows); tools/hard_benchmark.py carries a "
+                   "bn-momentum control cell",
+     },
+    {"id": "mixup_lambda",
+     "choice": "mixup lambda ~ Beta(1, 1) per example, SAME lambda for "
+               "features and targets, partners = batch reversed",
+     "ours": "train.py:mixup",
+     "risk": "the reference's Mixup class may draw per-batch or use "
+             "alpha != 1; changes augmentation strength",
+     "verify": "tree",
+     "verify_how": "read utils/utilities.py Mixup"},
+    {"id": "normalization_scalar",
+     "choice": "per-mel-bin mean/std over all training frames, applied "
+               "as (x - mean) / std",
+     "ours": "data/hdf5.py:calculate_scalar",
+     "risk": "could be std-floor-protected or computed per clip",
+     "verify": "bitcompat",
+     "verify_how": "compare scalar h5 values on the same packed corpus"},
+    {"id": "checkpoint_naming",
+     "choice": "checkpoints/<run-config>/<iter>_iterations.* layout; "
+               "eval every 1000 iterations; stop at 10000",
+     "ours": "checkpoints.py + main.py defaults",
+     "risk": "cadence/paths reconstructed from README snippets",
+     "verify": "tree",
+     "verify_how": "grep pytorch/main.py save/eval cadence constants"},
+    {"id": "label_table",
+     "choice": "17 DCASE 2017 task-4 labels in the published csv order",
+     "ours": "config.py:labels",
+     "risk": "a different label ORDER silently permutes every per-class "
+             "metric and submission column",
+     "verify": "dataset",
+     "verify_how": "stage-3 checks the metadata csv's label set/order"},
+]
+
+
+def stage_ledger() -> list[dict]:
+    """Emit the parity-risk ledger as explicit SKIP rows (one per entry) so
+    a dry run documents the exact outstanding verification work."""
+    return [_result(r["verify"], "SKIP",
+                    f"[ledger:{r['id']}] {r['choice']} — verify: "
+                    f"{r['verify_how']}")
+            for r in PARITY_LEDGER]
+
 
 def _result(stage: str, status: str, detail: str) -> dict:
     print(f"[{stage:9s}] {status:5s} {detail}")
@@ -356,6 +490,10 @@ def main(argv=None) -> int:
     p.add_argument("--survey_patch", default="SURVEY_PATCH.md",
                    help="where to write the ready-to-apply SURVEY.md "
                         "correction list when stage-1 finds divergences")
+    p.add_argument("--ledger", action="store_true",
+                   help="print the parity-risk ledger as JSON (every "
+                        "reconstructed semantic choice + the stage that "
+                        "will verify it on reference arrival) and exit")
     p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
                    help="JAX platform for the verification stages. 'cpu' "
                         "(default) makes this host-side harness immune to "
@@ -363,6 +501,10 @@ def main(argv=None) -> int:
                         "died on 'axon' UNAVAILABLE exactly because it "
                         "inherited the default backend it never needed.")
     args = p.parse_args(argv)
+
+    if args.ledger:
+        print(json.dumps(PARITY_LEDGER, indent=1))
+        return 0
 
     if args.platform == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"     # also inherited by children
@@ -386,6 +528,7 @@ def main(argv=None) -> int:
     results += stage_dataset(args.dataset_dir)
     if all(r["status"] == "SKIP" for r in results):
         results += stage_dry_selfcheck()
+        results += stage_ledger()       # the outstanding work, itemized
 
     n_fail = sum(r["status"] in ("FAIL", "DIFF") for r in results)
     print(f"\nsummary: {len(results)} checks, {n_fail} fail/diff, "
