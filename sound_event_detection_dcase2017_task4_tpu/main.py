@@ -24,6 +24,7 @@ frontend consuming raw waveforms (``--feature_source=waveform``).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import pickle
 import time
@@ -419,7 +420,9 @@ def do_calculate_metrics(args) -> None:
             with open(sed_p, "rb") as f:
                 sed_thr = pickle.load(f)["sed_params"]
 
+    metrics_record = {}
     at = tagging_metrics(preds["clipwise_output"], preds["target"], at_thr)
+    metrics_record["at"] = at
     print(f"[{args.data_type}] AT: mAP={at['mAP']:.4f} "
           f"macroF1={at['macro_f1']:.4f} "
           f"P={at['macro_precision']:.4f} R={at['macro_recall']:.4f}")
@@ -451,6 +454,7 @@ def do_calculate_metrics(args) -> None:
     print(f"submission → {sub}")
     if gt is not None:
         m = scoring.segment_based_metrics(gt, est, 10.0, 1.0, labels)
+        metrics_record["sed"] = m
         ov = m["overall"]
         print(f"[{args.data_type}] SED: segF1="
               f"{ov['f_measure']['f_measure']:.4f} "
@@ -464,6 +468,20 @@ def do_calculate_metrics(args) -> None:
                 cw = m["class_wise"][lb]
                 print(f"{lb:<34} {cw['f_measure']:>7.4f} "
                       f"{cw['error_rate']:>7.4f} {cw['nref']:>6.0f}")
+    if getattr(args, "metrics_out", None):
+        # machine-readable FULL-SPLIT metrics (json; numpy → lists) — the
+        # hard-benchmark matrix and regression gates read this instead of
+        # the truncated training-time eval window (round-4 verdict item 2)
+        def _tolist(x):
+            return ({k: _tolist(v) for k, v in x.items()}
+                    if isinstance(x, dict)
+                    else x.tolist() if hasattr(x, "tolist") else x)
+
+        with open(args.metrics_out, "w") as f:
+            json.dump({"data_type": args.data_type,
+                       "n_clips": int(len(preds["audio_name"])),
+                       **_tolist(metrics_record)}, f)
+        print(f"metrics json → {args.metrics_out}")
 
 
 def do_optimize_at_thresholds(args) -> None:
@@ -629,6 +647,10 @@ def main(argv=None) -> None:
     pm.add_argument("--use_optimized_thresholds", action="store_true")
     pm.add_argument("--verbose", action="store_true",
                     help="print class-wise AT/SED tables")
+    pm.add_argument("--metrics_out", default=None,
+                    help="also write the computed full-split AT/SED "
+                         "metrics as JSON to this path (regression gates "
+                         "and tools/hard_benchmark.py read it)")
     pm.set_defaults(func=do_calculate_metrics)
 
     pa = sub.add_parser("optimize_at_thresholds")
