@@ -235,9 +235,17 @@ def _probe_backend() -> tuple[bool, str]:
                 text=True, timeout=PROBE_TIMEOUT_S, cwd=REPO)
             if proc.returncode == 0:
                 backend = proc.stdout.strip().splitlines()[-1]
-                log(f"probe {attempt}/{PROBE_ATTEMPTS}: backend "
-                    f"'{backend}' up")
-                return True, backend
+                if backend == "tpu":
+                    log(f"probe {attempt}/{PROBE_ATTEMPTS}: backend "
+                        f"'{backend}' up")
+                    return True, backend
+                # a quiet CPU fallback must NOT publish a CPU number as
+                # the TPU headline — treat as backend-unavailable
+                last = f"default backend is '{backend}', not tpu"
+                log(f"probe {attempt}/{PROBE_ATTEMPTS}: {last}")
+                if attempt < PROBE_ATTEMPTS:
+                    time.sleep(PROBE_BACKOFF_S)
+                continue
             last = (proc.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
             last = last[0][:200]
         except subprocess.TimeoutExpired:
