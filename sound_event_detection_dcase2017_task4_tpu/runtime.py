@@ -16,7 +16,7 @@ __all__ = ["enable_compile_cache", "honor_platform_env"]
 
 
 def honor_platform_env() -> None:
-    """Re-assert the caller's ``JAX_PLATFORMS`` env request.
+    """Re-assert a ``JAX_PLATFORMS=cpu`` escape request from the env.
 
     This image's sitecustomize imports jax at interpreter startup and
     programmatically sets ``jax_platforms="axon,cpu"`` — which silently
@@ -24,14 +24,21 @@ def honor_platform_env() -> None:
     (config beats env once set). A CLI launched with the env var to avoid
     a dead TPU tunnel would still block on the axon backend. Called from
     :func:`enable_compile_cache` (i.e. by every CLI) before first backend
-    use; a no-op when the env var is unset or the backend is already up.
+    use.
+
+    Deliberately ONE-directional: only a pure-CPU request is honored.
+    The TPU direction needs no help (sitecustomize selects it by
+    default), and honoring it would re-break callers that forced CPU via
+    ``jax.config`` while the shell env still says ``axon`` — exactly what
+    happened to the pytest conftest when the first in-process CLI call
+    re-asserted the env and hung the whole suite on the dead tunnel.
     """
     import jax
 
     want = os.environ.get("JAX_PLATFORMS")
-    if want and want != jax.config.jax_platforms:
+    if want == "cpu" and want != jax.config.jax_platforms:
         try:
-            jax.config.update("jax_platforms", want)
+            jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass  # backend already initialized: too late, leave it
 
