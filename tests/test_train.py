@@ -264,3 +264,19 @@ def test_transformer_resolve_opt_config_defaults():
     cnn = get_model("Cnn_9layers_AvgPooling")
     assert train.resolve_opt_config(cnn) == {
         "learning_rate": 1e-3, "warmup_steps": 0, "grad_clip": 0.0}
+
+
+def test_honor_platform_env_is_one_directional(monkeypatch):
+    """runtime.honor_platform_env may only honor a CPU escape request —
+    re-asserting a TPU platform from the env would flip a process that
+    deliberately forced CPU (conftest, parity harness) back onto a
+    possibly-dead tunnel (round-4 regression: this hung the whole suite)."""
+    from sound_event_detection_dcase2017_task4_tpu import runtime
+
+    assert jax.config.jax_platforms == "cpu"     # conftest's force
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    runtime.honor_platform_env()
+    assert jax.config.jax_platforms == "cpu"     # unchanged
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    runtime.honor_platform_env()                 # no-op (already cpu)
+    assert jax.config.jax_platforms == "cpu"
