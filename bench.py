@@ -29,7 +29,8 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-CPU_CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+CPU_CACHE = os.environ.get(
+    "SEDX_BENCH_CPU_CACHE", os.path.join(REPO, ".bench_cpu_baseline.json"))
 
 BATCH = 128
 STEPS = 30

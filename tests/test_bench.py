@@ -1,0 +1,81 @@
+"""bench.py resilience contract (round-4 verdict item 1b).
+
+The driver records bench.py's stdout as the round's BENCH artifact; on a
+dead TPU tunnel it must emit ONE parseable JSON line with an "error"
+field — never a traceback (round 3's artifact was rc=1 + traceback and
+the round's perf record was lost).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def test_round_ratio_two_significant_figures():
+    assert bench._round_ratio(1568.54) == 1600
+    assert bench._round_ratio(153.2) == 150
+    assert bench._round_ratio(23.4) == 23
+    # sub-10 ratios keep two decimals (round-3 advisor: 0.5x rounded to 0)
+    assert bench._round_ratio(0.5) == 0.5
+    assert bench._round_ratio(1.234) == 1.23
+    assert bench._round_ratio(9.87) == 9.87
+
+
+def test_emits_structured_json_line_when_backend_unavailable(tmp_path):
+    """Full CLI run with aggressive timeouts: whatever the tunnel state,
+    the LAST stdout line must parse as the headline JSON (either a real
+    number or a structured error) and the process must exit 0."""
+    cache = tmp_path / "cpu_cache.json"
+    cache.write_text(json.dumps({"clips_per_sec": 1.0, "batch": 4,
+                                 "n_steps": 1, "step_seconds_mean": 4.0,
+                                 "step_seconds_std": 0.0,
+                                 "torch_threads": 1, "measured_at": 0}))
+    env = dict(os.environ)
+    env.update({
+        "SEDX_BENCH_CPU_CACHE": str(cache),
+        "SEDX_BENCH_PROBE_TIMEOUT": "15",
+        "SEDX_BENCH_PROBE_ATTEMPTS": "1",
+        "SEDX_BENCH_PROBE_BACKOFF": "1",
+        "SEDX_BENCH_TIMEOUTS": "5",
+    })
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=180, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-500:]
+    line = proc.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
+    assert rec["unit"] == "clips/sec"
+    # with a 5 s bench budget no real TPU bench can complete → either the
+    # probe failed (backend down) or the bench child timed out; both must
+    # surface as the structured error form
+    if rec["value"] is None:
+        assert "error" in rec and rec["error"]
+    else:  # pragma: no cover - only on an implausibly fast warm TPU
+        assert rec["value"] > 0
+
+
+def test_probe_rejects_cpu_fallback(monkeypatch, tmp_path):
+    """A quiet CPU fallback must not publish a CPU number as the TPU
+    headline: probe treats backend != 'tpu' as unavailable."""
+    monkeypatch.setattr(bench, "PROBE_ATTEMPTS", 1)
+    monkeypatch.setattr(bench, "PROBE_BACKOFF_S", 0)
+
+    class FakeProc:
+        returncode = 0
+        stdout = "cpu\n"
+        stderr = ""
+
+    # _probe_backend imports subprocess locally — patch the real module
+    monkeypatch.setattr("subprocess.run", lambda *a, **k: FakeProc())
+    ok, detail = bench._probe_backend()
+    assert not ok
+    assert "not tpu" in detail
