@@ -220,37 +220,22 @@ def _round_ratio(ratio: float) -> float:
 
 
 def _probe_backend() -> tuple[bool, str]:
-    """Try to initialize the default JAX backend in a bounded subprocess.
+    """Probe the default JAX backend (shared bounded subprocess probe —
+    ``runtime.probe_default_backend``), retrying with backoff: the
+    tunnel sometimes recovers within minutes. Only a real TPU passes —
+    a quiet CPU fallback must NOT publish a CPU number as the TPU
+    headline."""
+    from sound_event_detection_dcase2017_task4_tpu.runtime import (
+        probe_default_backend)
 
-    Returns (ok, detail). Retries with backoff: the tunnel sometimes
-    recovers within minutes. Never run this in-process — a hung backend
-    init is uninterruptible from Python."""
-    import subprocess
-
-    code = "import jax; print(jax.default_backend())"
     last = ""
     for attempt in range(1, PROBE_ATTEMPTS + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", code], capture_output=True,
-                text=True, timeout=PROBE_TIMEOUT_S, cwd=REPO)
-            if proc.returncode == 0:
-                backend = proc.stdout.strip().splitlines()[-1]
-                if backend == "tpu":
-                    log(f"probe {attempt}/{PROBE_ATTEMPTS}: backend "
-                        f"'{backend}' up")
-                    return True, backend
-                # a quiet CPU fallback must NOT publish a CPU number as
-                # the TPU headline — treat as backend-unavailable
-                last = f"default backend is '{backend}', not tpu"
-                log(f"probe {attempt}/{PROBE_ATTEMPTS}: {last}")
-                if attempt < PROBE_ATTEMPTS:
-                    time.sleep(PROBE_BACKOFF_S)
-                continue
-            last = (proc.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
-            last = last[0][:200]
-        except subprocess.TimeoutExpired:
-            last = f"backend init hung > {PROBE_TIMEOUT_S}s"
+        ok, detail = probe_default_backend(PROBE_TIMEOUT_S)
+        if ok and detail == "tpu":
+            log(f"probe {attempt}/{PROBE_ATTEMPTS}: backend 'tpu' up")
+            return True, detail
+        last = (f"default backend is '{detail}', not tpu" if ok
+                else detail)
         log(f"probe {attempt}/{PROBE_ATTEMPTS} failed: {last}")
         if attempt < PROBE_ATTEMPTS:
             time.sleep(PROBE_BACKOFF_S)
@@ -265,18 +250,21 @@ def _bench_tpu_subprocess() -> tuple[float | None, str]:
     import tempfile
 
     for i, t in enumerate(BENCH_TIMEOUTS_S):
-        out = tempfile.mktemp(suffix=".json")
+        fd, out = tempfile.mkstemp(suffix=".json")   # created, not guessed
+        os.close(fd)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--tpu-child", out],
                 timeout=t, cwd=REPO)        # stdout/stderr inherited
-            if proc.returncode == 0 and os.path.isfile(out):
+            if proc.returncode == 0 and os.path.getsize(out) > 0:
                 with open(out) as f:
                     return json.load(f)["clips_per_sec"], ""
             err = f"tpu bench child rc={proc.returncode}"
         except subprocess.TimeoutExpired:
             err = f"tpu bench child timed out > {t}s"
+        except (json.JSONDecodeError, KeyError) as e:
+            err = f"tpu bench child wrote malformed result: {e!r}"
         finally:
             if os.path.isfile(out):
                 os.unlink(out)

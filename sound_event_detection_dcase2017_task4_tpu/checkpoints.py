@@ -73,24 +73,44 @@ def load_opt_config(ckpt_path: str) -> dict | None:
         return json.load(f)
 
 
+# keys whose value changes the opt_state PYTREE LAYOUT (warmup 0<->nonzero
+# adds the schedule count; clip 0<->nonzero adds the chain stage) — a
+# mismatch there makes deserialization structurally wrong. learning_rate
+# is a scalar inside adam: it never changes the layout, and overriding it
+# at resume is a legitimate tweak, so it only warns.
+_STRUCTURAL_KEYS = ("warmup_steps", "grad_clip")
+
+
 def check_opt_config(ckpt_path: str, expected: dict) -> None:
     """Raise with a clear message if the checkpoint's recorded optimizer
-    recipe disagrees with ``expected`` — a mismatch means the caller's
-    opt_state template has a different pytree layout and deserialization
-    would fail (or worse, silently mis-map leaves)."""
+    recipe disagrees STRUCTURALLY with ``expected`` — such a mismatch
+    means the caller's opt_state template has a different pytree layout
+    and deserialization would fail (or worse, silently mis-map leaves).
+    Non-structural differences (learning_rate) log a warning only."""
     saved = load_opt_config(ckpt_path)
     if saved is None:
         return                                  # legacy checkpoint: trust caller
     diffs = {k: (saved.get(k), expected.get(k))
-             for k in set(saved) | set(expected)
+             for k in _STRUCTURAL_KEYS
+             # treat 0 and 0.0 as equal but None as different from 0
              if saved.get(k) != expected.get(k)}
     if diffs:
         raise ValueError(
             f"optimizer config mismatch for {ckpt_path}: the checkpoint "
             f"was written with {saved} but this run resolved {expected} "
-            f"(differing keys: {diffs}). Re-run with matching "
-            "--learning_rate/--warmup_steps/--grad_clip, or drop the "
-            "flags to auto-adopt the checkpoint's recorded recipe.")
+            f"(differing structural keys: {diffs}). Re-run with matching "
+            "--warmup_steps/--grad_clip, or drop the flags to auto-adopt "
+            "the checkpoint's recorded recipe.")
+    soft = {k: (saved[k], expected[k]) for k in saved
+            if k not in _STRUCTURAL_KEYS and k in expected
+            and saved[k] != expected[k]}
+    if soft:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "optimizer config differs non-structurally for %s: %s "
+            "(checkpoint value, this run's value) — proceeding; the "
+            "run's value wins", ckpt_path, soft)
 
 
 def load_checkpoint(path: str, state_template, opt_config: dict | None = None):

@@ -187,6 +187,14 @@ def do_train(args) -> None:
     logger = create_logging(paths["logs"])
     logger.info("train: %s", vars(args))
 
+    if args.resume_iteration > 0:
+        # adopt the checkpoint's recorded optimizer recipe for any flag
+        # left unset — a transformer run trained with non-default
+        # warmup/clip must resume with NO flags re-passed (the explicit-
+        # mismatch case still errors in load_checkpoint below)
+        _adopt_ckpt_opt_config(
+            args, os.path.join(paths["checkpoints"],
+                               f"{args.resume_iteration}_iterations.ckpt"))
     ctx = _build(args, for_train=True)
     gen, step, eval_step = ctx["gen"], ctx["step"], ctx["eval_step"]
     state = ctx["state"]
@@ -469,18 +477,28 @@ def do_calculate_metrics(args) -> None:
                 print(f"{lb:<34} {cw['f_measure']:>7.4f} "
                       f"{cw['error_rate']:>7.4f} {cw['nref']:>6.0f}")
     if getattr(args, "metrics_out", None):
-        # machine-readable FULL-SPLIT metrics (json; numpy → lists) — the
+        # machine-readable FULL-SPLIT metrics (json; numpy → lists, NaN →
+        # null so the file is SPEC-valid JSON — per-class AP/AUC are NaN
+        # for classes with no positives, and json.dump's default NaN
+        # token breaks strict consumers like jq/JSON.parse) — the
         # hard-benchmark matrix and regression gates read this instead of
         # the truncated training-time eval window (round-4 verdict item 2)
         def _tolist(x):
-            return ({k: _tolist(v) for k, v in x.items()}
-                    if isinstance(x, dict)
-                    else x.tolist() if hasattr(x, "tolist") else x)
+            if isinstance(x, dict):
+                return {k: _tolist(v) for k, v in x.items()}
+            if hasattr(x, "tolist"):
+                x = x.tolist()
+            if isinstance(x, list):
+                return [_tolist(v) for v in x]
+            if isinstance(x, float) and (x != x or x in (float("inf"),
+                                                         float("-inf"))):
+                return None
+            return x
 
         with open(args.metrics_out, "w") as f:
             json.dump({"data_type": args.data_type,
                        "n_clips": int(len(preds["audio_name"])),
-                       **_tolist(metrics_record)}, f)
+                       **_tolist(metrics_record)}, f, allow_nan=False)
         print(f"metrics json → {args.metrics_out}")
 
 

@@ -12,7 +12,33 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["enable_compile_cache", "honor_platform_env"]
+__all__ = ["enable_compile_cache", "honor_platform_env",
+           "probe_default_backend"]
+
+
+def probe_default_backend(timeout_s: float = 120.0) -> tuple[bool, str]:
+    """Initialize the default JAX backend in a bounded, KILLABLE probe.
+
+    Returns ``(True, backend_name)`` or ``(False, failure_detail)``.
+    Never attempt this in-process first: when this image's TPU tunnel is
+    down, backend init HANGS in an uninterruptible retry loop rather
+    than raising. The single shared implementation behind bench.py's
+    retrying probe and ``__graft_entry__``'s CPU fallback.
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; print(jax.default_backend())"
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hung > {timeout_s:.0f}s"
+    if proc.returncode == 0 and proc.stdout.strip():
+        return True, proc.stdout.strip().splitlines()[-1]
+    tail = (proc.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+    return False, tail[0][:200]
 
 
 def honor_platform_env() -> None:

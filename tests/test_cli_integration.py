@@ -362,3 +362,11 @@ def test_transformer_checkpoint_sidecar_no_flags_eval(workspace, capsys):
     with pytest.raises(ValueError, match="optimizer config mismatch"):
         main.main(["inference", f"--workspace={workspace}", *tr,
                    "--warmup_steps=99", "--data_type=testing"])
+
+    # RESUME without flags must also auto-adopt (round-4 review finding:
+    # only the eval subcommands adopted; resume hard-errored against the
+    # transformer defaults)
+    main.main(["train", f"--workspace={workspace}", *tr,
+               "--resume_iteration=2", "--stop_iteration=3",
+               "--eval_interval=10", "--eval_max_iteration=1"])
+    assert os.path.isfile(os.path.join(ckpt_dir, "3_iterations.ckpt"))

@@ -508,16 +508,13 @@ def main(argv=None) -> int:
 
     if args.platform == "cpu":
         os.environ["JAX_PLATFORMS"] = "cpu"     # also inherited by children
-        # env alone is NOT enough on this image: sitecustomize imports jax
-        # at interpreter startup and sets jax_platforms="axon,cpu"
-        # programmatically, which overrides the env var. Re-assert via the
-        # config (works pre-backend-init; see runtime.honor_platform_env).
-        import jax
+        # env alone is NOT enough on this image (sitecustomize overrides
+        # it programmatically at interpreter startup) — re-assert via the
+        # shared escape hatch
+        from sound_event_detection_dcase2017_task4_tpu.runtime import (
+            honor_platform_env)
 
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass                                # backend already up; keep it
+        honor_platform_env()
 
     results = []
     tree_results = stage_tree(args.reference)
