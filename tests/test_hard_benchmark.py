@@ -137,3 +137,35 @@ def test_has_completed_run_resume_gate(tmp_path):
     _write_run(ws, mt, "2026-01-01_01-00-00", [_rec(3000, 0.8)])
     assert hard_benchmark._has_completed_run(ws, mt, 32, 3000)
     assert not hard_benchmark._has_completed_run(ws, mt, 64, 3000)  # other bs
+
+
+def test_no_normalization_control_identity_scalar(tmp_path):
+    """The forgot-to-normalize control must return identity (0, 1) scalars
+    with the real shapes, and patch BOTH the data module and main's
+    imported name."""
+    import numpy as np
+
+    from sound_event_detection_dcase2017_task4_tpu.data import hdf5 as h5mod
+    from sound_event_detection_dcase2017_task4_tpu import main as main_mod
+    from sound_event_detection_dcase2017_task4_tpu.data.hdf5 import (
+        calculate_scalar)
+    import h5py
+
+    feat = tmp_path / "training.h5"
+    with h5py.File(feat, "w") as hf:
+        hf.create_dataset("feature", data=np.random.RandomState(0)
+                          .randn(4, 10, 64).astype(np.float32) * 5 - 30)
+    scal = tmp_path / "scalar.h5"
+    calculate_scalar(str(feat), str(scal))
+
+    orig_h5, orig_main = h5mod.load_scalar, main_mod.load_scalar
+    try:
+        hard_benchmark.CONTROLS["no_normalization"]()
+        mean, std = h5mod.load_scalar(str(scal))
+        assert mean.shape == (64,) and std.shape == (64,)
+        np.testing.assert_array_equal(mean, 0)
+        np.testing.assert_array_equal(std, 1)
+        assert main_mod.load_scalar is h5mod.load_scalar
+    finally:
+        h5mod.load_scalar = orig_h5
+        main_mod.load_scalar = orig_main

@@ -213,6 +213,26 @@ def _poison_mixup_targets() -> None:
     train_mod.mixup = poisoned_mixup
 
 
+def _poison_no_normalization() -> None:
+    """Subtle-bug class "forgot to normalize": the per-mel-bin scalar is
+    replaced with identity (mean 0, std 1), so the model sees raw log-mel
+    magnitudes (~[-100, 0] dB) instead of standardized features — the
+    classic skipped-preprocessing bug."""
+    from sound_event_detection_dcase2017_task4_tpu import main as main_mod
+    from sound_event_detection_dcase2017_task4_tpu.data import hdf5 as h5mod
+
+    import numpy as np
+
+    orig_load = h5mod.load_scalar
+
+    def identity_scalar(scalar_path):
+        mean, std = orig_load(scalar_path)       # real shapes/dtypes
+        return np.zeros_like(mean), np.ones_like(std)
+
+    h5mod.load_scalar = identity_scalar
+    main_mod.load_scalar = identity_scalar      # main imported it by name
+
+
 # name → installer; each control is ONE planted bug of a class the round-2
 # verdict called out ("wrong BN momentum, mixup bug") — the benchmark has
 # discriminative power iff at least one regresses measurably. Controls that
@@ -221,6 +241,7 @@ def _poison_mixup_targets() -> None:
 CONTROLS = {
     "bn_momentum_0.5": _poison_bn_momentum,
     "mixup_no_targets": _poison_mixup_targets,
+    "no_normalization": _poison_no_normalization,
 }
 
 
