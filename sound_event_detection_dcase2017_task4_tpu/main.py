@@ -333,10 +333,37 @@ def do_train(args) -> None:
     logger.info("done at iter %d", it)
 
 
+def _best_iteration(paths) -> int:
+    """The eval iteration with the highest test-split mAP in this run's
+    statistics — `--iteration best` model selection (checkpoints are
+    written at every eval, so the argmax iteration always has one)."""
+    stats_path = paths["statistics"]
+    if not os.path.isfile(stats_path):
+        raise FileNotFoundError(
+            f"--iteration best needs {stats_path} (train first)")
+    with open(stats_path, "rb") as f:
+        records = pickle.load(f)
+    test = [r for r in records if r.get("data_type") == "test"
+            and "at" in r]
+    if not test:
+        raise ValueError(
+            f"--iteration best: no test-split eval records in {stats_path}")
+    best = max(test, key=lambda r: r["at"]["mAP"])
+    print(f"--iteration best → iter {best['iteration']} "
+          f"(test mAP {best['at']['mAP']:.4f} over {len(test)} evals)")
+    return int(best["iteration"])
+
+
 def _resolve_ckpt(args, paths) -> str:
-    if args.iteration is not None:
+    it = args.iteration
+    if isinstance(it, str):
+        if it != "best":
+            raise SystemExit(
+                f"--iteration must be an integer or 'best', got {it!r}")
+        it = _best_iteration(paths)
+    if it is not None:
         ckpt = os.path.join(paths["checkpoints"],
-                            f"{args.iteration}_iterations.ckpt")
+                            f"{int(it)}_iterations.ckpt")
     else:
         ckpt = checkpoints.latest_checkpoint(paths["checkpoints"])
     if ckpt is None:
@@ -655,7 +682,11 @@ def main(argv=None) -> None:
     _add_common(pi)
     pi.add_argument("--data_type", default="testing",
                     choices=["training", "testing", "evaluation"])
-    pi.add_argument("--iteration", type=int, default=None)
+    pi.add_argument("--iteration", default=None,
+                    help="checkpoint iteration to load (default: latest); "
+                         "'best' selects the eval iteration with the "
+                         "highest test-split mAP from this run's "
+                         "statistics")
     pi.set_defaults(func=do_inference)
 
     pm = sub.add_parser("calculate_metrics")

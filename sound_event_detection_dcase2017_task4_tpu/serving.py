@@ -68,13 +68,16 @@ class Predictor:
     @classmethod
     def from_workspace(cls, workspace: str, model_type: str,
                        run_config: str, cfg: Config = DEFAULT,
-                       iteration: Optional[int] = None,
+                       iteration: "Optional[int | str]" = None,
                        sed_params: Optional[dict] = None,
                        dtype=None) -> "Predictor":
         """Load the latest (or given-iteration) checkpoint of a training run.
 
         ``run_config`` is the reference-style path segment, e.g.
         ``"loss_type=clip_bce/augmentation=mixup/batch_size=32"``.
+        ``iteration`` may also be ``"best"``: the eval iteration with the
+        highest test-split mAP in the run's statistics (same selection as
+        the CLI's ``--iteration best``).
         ``dtype`` sets the serving compute dtype (params stay f32 —
         checkpoints interchange freely); defaults to bf16 on TPU, f32
         elsewhere.
@@ -87,6 +90,21 @@ class Predictor:
         model = get_model(model_type, dtype=dtype)
         ckpt_dir = os.path.join(workspace, "checkpoints", "main",
                                 f"model_type={model_type}", run_config)
+        if iteration == "best":
+            import pickle
+
+            stats = os.path.join(workspace, "statistics", "main",
+                                 f"model_type={model_type}", run_config,
+                                 "statistics.pickle")
+            with open(stats, "rb") as f:
+                records = pickle.load(f)
+            test = [r for r in records
+                    if r.get("data_type") == "test" and "at" in r]
+            if not test:
+                raise ValueError(f"iteration='best': no test-split eval "
+                                 f"records in {stats}")
+            iteration = int(max(test, key=lambda r: r["at"]["mAP"])
+                            ["iteration"])
         path = (os.path.join(ckpt_dir, f"{iteration}_iterations.ckpt")
                 if iteration is not None
                 else checkpoints.latest_checkpoint(ckpt_dir))

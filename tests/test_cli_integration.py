@@ -370,3 +370,22 @@ def test_transformer_checkpoint_sidecar_no_flags_eval(workspace, capsys):
                "--resume_iteration=2", "--stop_iteration=3",
                "--eval_interval=10", "--eval_max_iteration=1"])
     assert os.path.isfile(os.path.join(ckpt_dir, "3_iterations.ckpt"))
+
+
+def test_inference_iteration_best(workspace, capsys):
+    """--iteration best loads the highest-test-mAP checkpoint recorded in
+    this run's statistics (model selection, round 4)."""
+    rc = os.path.join("model_type=Cnn_5layers_AvgPooling",
+                      "loss_type=clip_bce", "augmentation=none",
+                      "batch_size=4")
+    if not os.path.isfile(os.path.join(workspace, "statistics", "main", rc,
+                                       "statistics.pickle")):
+        main.main(["train", f"--workspace={workspace}", *COMMON,
+                   "--stop_iteration=6", "--eval_interval=3",
+                   "--eval_max_iteration=2"])     # self-sufficient when
+        capsys.readouterr()                       # run in isolation
+    main.main(["inference", f"--workspace={workspace}", *COMMON,
+               "--iteration", "best", "--data_type=testing"])
+    out = capsys.readouterr().out
+    assert "--iteration best → iter" in out
+    assert "checkpoint:" in out

@@ -215,3 +215,58 @@ def test_from_workspace_pinned_iteration_skips_tuned_params(tmp_path,
     # defaults, not the tuned pickle
     assert pred.sed_params == dict(sed.sed_params_dict)
     assert any("NOT auto-loading" in r.message for r in caplog.records)
+
+
+def test_from_workspace_iteration_best(tmp_path):
+    """iteration='best' selects the highest-test-mAP eval iteration from
+    the run's statistics (model selection, round 4)."""
+    import os
+    import pickle
+
+    import h5py
+
+    from sound_event_detection_dcase2017_task4_tpu import checkpoints
+
+    cfg = Config(clip_samples=16000)
+    model = SedCnn(classes_num=17, channels=(8, 16), head="att")
+    model_type, run_config = "TinyBest", "loss_type=clip_bce/batch_size=8"
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "checkpoints", "main",
+                            f"model_type={model_type}", run_config)
+    os.makedirs(ckpt_dir)
+    # three checkpoints with DIFFERENT params so the pick is observable
+    states = {}
+    for it, seed in ((0, 0), (5, 1), (10, 2)):
+        st, _ = train.create_train_state(model, cfg, seed=seed)
+        checkpoints.save_checkpoint(ckpt_dir, st, it)
+        states[it] = st
+    stats_dir = os.path.join(ws, "statistics", "main",
+                             f"model_type={model_type}", run_config)
+    os.makedirs(stats_dir)
+    records = [
+        {"iteration": 0, "data_type": "test", "at": {"mAP": 0.2}},
+        {"iteration": 5, "data_type": "test", "at": {"mAP": 0.9}},  # best
+        {"iteration": 5, "data_type": "train", "at": {"mAP": 0.99}},
+        {"iteration": 10, "data_type": "test", "at": {"mAP": 0.6}},
+    ]
+    with open(os.path.join(stats_dir, "statistics.pickle"), "wb") as f:
+        pickle.dump(records, f)
+    os.makedirs(os.path.join(ws, "scalars"))
+    with h5py.File(os.path.join(ws, "scalars", "training.h5"), "w") as hf:
+        hf["mean"] = np.zeros(cfg.mel_bins, np.float32)
+        hf["std"] = np.ones(cfg.mel_bins, np.float32)
+
+    import sound_event_detection_dcase2017_task4_tpu.models as _m
+    _m.MODEL_REGISTRY.setdefault("TinyBest",
+                                 dict(channels=(8, 16), head="att"))
+    try:
+        pred = serving.Predictor.from_workspace(
+            ws, model_type, run_config, cfg=cfg, iteration="best")
+    finally:
+        _m.MODEL_REGISTRY.pop("TinyBest", None)
+    import jax
+
+    want = np.asarray(
+        jax.tree_util.tree_leaves(states[5].params)[0])
+    got = np.asarray(jax.tree_util.tree_leaves(pred._state.params)[0])
+    np.testing.assert_array_equal(got, want)      # iter 5 loaded, not 10
