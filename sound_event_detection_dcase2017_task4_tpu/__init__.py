@@ -24,6 +24,7 @@ def __getattr__(name):
         "MODEL_REGISTRY": ("models", "MODEL_REGISTRY"),
         "Config": ("config", "Config"),
         "Predictor": ("serving", "Predictor"),
+        "StreamingDetector": ("serving", "StreamingDetector"),
         "make_logmel_fn": ("ops.stft", "make_logmel_fn"),
     }
     module_level = {"train", "sed", "sed_fast", "scoring", "evaluate",

@@ -30,7 +30,7 @@ from .data.hdf5 import load_scalar
 from .models import get_model
 from .ops.stft import make_logmel_fn
 
-__all__ = ["Predictor"]
+__all__ = ["Predictor", "StreamingDetector"]
 
 
 class Predictor:
@@ -242,3 +242,148 @@ class Predictor:
         """``[samples] → [(onset_s, offset_s, label)]`` for one recording of
         any length (see :meth:`predict_long`)."""
         return self.predict_long(waveform, hop_seconds)["events"]
+
+
+class StreamingDetector:
+    """Stateful low-latency SED over a LIVE audio stream.
+
+    ``feed(samples)`` accepts chunks of any size; whenever enough audio
+    has accumulated for the next overlapping model window (same window
+    grid as :meth:`Predictor.predict_long`), that window runs through the
+    predictor's compiled program (one batch-1 compile for the whole
+    stream), its framewise probabilities are overlap-averaged onto the
+    absolute timeline, and every event that is already DECODE-STABLE is
+    emitted exactly once. ``flush()`` processes the remaining zero-padded
+    tail windows and emits everything else.
+
+    Decode stability (why early emissions can never be wrong): a frame is
+    *settled* once no future window overlaps it. For each class, frames
+    after the last settled sub-``low_threshold`` frame (``cut``) are
+    withheld — hysteresis low-runs cannot cross a sub-low frame, so
+    nothing decoded before ``cut`` can be changed by future audio except
+    by gap-smoothing; therefore an event is emitted only when an
+    already-settled inactive gap of at least ``n_smooth`` frames
+    separates it from ``cut``. Under this rule
+    ``feed(chunks...) + flush()`` emits EXACTLY the event list
+    ``predict_long(concat(chunks), hop_seconds)`` produces
+    (`tests/test_serving.py` asserts list equality on random streams).
+
+    Memory/CPU: the stitched probability timeline grows with the stream
+    (``frames_per_second × classes`` floats — ~7 MB/hour at the DCASE
+    config) and each drain re-decodes it (a few ms/hour of timeline;
+    run-list decode is vectorized). Good for hours, not days; restart the
+    detector at natural session boundaries for unbounded streams.
+    """
+
+    def __init__(self, predictor: Predictor,
+                 hop_seconds: Optional[float] = None):
+        cfg = predictor.cfg
+        self.p = predictor
+        self.window = cfg.clip_samples
+        hop = (self.window // 2 if hop_seconds is None
+               else int(round(hop_seconds * cfg.sample_rate)))
+        if hop > self.window:
+            raise ValueError(
+                f"hop_seconds={hop_seconds} exceeds the model window "
+                f"({self.window / cfg.sample_rate:.1f} s)")
+        self.hop = max(cfg.hop_size, hop // cfg.hop_size * cfg.hop_size)
+        self._buf = np.zeros(0, np.float32)      # absolute sample history
+        self._next_start = 0                     # next window start (abs)
+        frames = cfg.frames_num
+        self._acc = np.zeros((frames, len(predictor.labels)), np.float64)
+        self._cnt = np.zeros((frames, 1), np.float64)
+        self._emitted: set = set()
+        self._flushed = False
+
+    def _grow(self, frames_needed: int) -> None:
+        if frames_needed > self._acc.shape[0]:
+            extra = frames_needed - self._acc.shape[0]
+            self._acc = np.concatenate(
+                [self._acc, np.zeros((extra, self._acc.shape[1]))])
+            self._cnt = np.concatenate(
+                [self._cnt, np.zeros((extra, 1))])
+
+    def _run_window(self, start: int, data: np.ndarray) -> None:
+        cfg = self.p.cfg
+        _, frame, _ = self.p._predict(self.p._state, data[None])
+        frame = np.asarray(frame)[0]
+        f0 = start // cfg.hop_size
+        self._grow(f0 + cfg.frames_num)
+        self._acc[f0 : f0 + cfg.frames_num] += frame
+        self._cnt[f0 : f0 + cfg.frames_num] += 1.0
+
+    def feed(self, samples: np.ndarray) -> List[tuple]:
+        """Append audio; run any now-complete windows; return newly
+        finalized ``(onset_s, offset_s, label)`` events (absolute times,
+        each exactly once across the stream's lifetime)."""
+        if self._flushed:
+            raise RuntimeError("StreamingDetector already flushed")
+        x = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, x])
+        while self._next_start + self.window <= len(self._buf):
+            self._run_window(
+                self._next_start,
+                self._buf[self._next_start : self._next_start + self.window])
+            self._next_start += self.hop
+        return self._drain(final=False)
+
+    def flush(self) -> List[tuple]:
+        """Process the zero-padded tail (same window set predict_long
+        would use for this total length) and emit all remaining events."""
+        if self._flushed:
+            return []
+        self._flushed = True
+        total = len(self._buf)
+        n_win = max(1, -(-(max(total - self.window, 0)) // self.hop) + 1)
+        padded = np.zeros((n_win - 1) * self.hop + self.window, np.float32)
+        padded[:total] = self._buf
+        while self._next_start <= (n_win - 1) * self.hop:
+            self._run_window(
+                self._next_start,
+                padded[self._next_start : self._next_start + self.window])
+            self._next_start += self.hop
+        return self._drain(final=True)
+
+    def _drain(self, final: bool) -> List[tuple]:
+        cfg = self.p.cfg
+        total_frames = (1 + len(self._buf) // cfg.hop_size if final
+                        else self._next_start // cfg.hop_size)
+        total_frames = min(total_frames, self._acc.shape[0])
+        if total_frames <= 0:
+            return []
+        probs = (self._acc[:total_frames]
+                 / np.maximum(self._cnt[:total_frames], 1.0)
+                 ).astype(np.float32)
+
+        params = self.p.sed_params
+        low = np.broadcast_to(
+            np.asarray(params["sed_low_threshold"], np.float32),
+            (len(self.p.labels),))
+        n_smooth = int(params["n_smooth"])
+
+        masked = probs.copy()
+        cuts = np.full(len(self.p.labels), total_frames)
+        if not final:
+            for c in range(len(self.p.labels)):
+                sub = np.flatnonzero(probs[:, c] < low[c])
+                cuts[c] = int(sub[-1]) if len(sub) else 0
+                masked[cuts[c]:, c] = 0.0        # withhold unstable tail
+
+        active = sed.binarize(
+            masked[None], params["sed_high_threshold"],
+            params["sed_low_threshold"], n_smooth, int(params["n_salt"]))
+        events = sed.events_from_binary(
+            active, cfg.frames_per_second, self.p.labels)[0]
+
+        lb_to_c = {lb: c for c, lb in enumerate(self.p.labels)}
+        out = []
+        for onset, offset, label in events:
+            off_f = int(round(offset * cfg.frames_per_second))
+            if not final and off_f + n_smooth > cuts[lb_to_c[label]]:
+                continue                         # future audio could merge
+            key = (label, round(onset, 6))
+            if key in self._emitted:
+                continue
+            self._emitted.add(key)
+            out.append((onset, offset, label))
+        return out

@@ -270,3 +270,68 @@ def test_from_workspace_iteration_best(tmp_path):
         jax.tree_util.tree_leaves(states[5].params)[0])
     got = np.asarray(jax.tree_util.tree_leaves(pred._state.params)[0])
     np.testing.assert_array_equal(got, want)      # iter 5 loaded, not 10
+
+
+class TestStreamingDetector:
+    """Live-stream chunked SED: early emissions must be decode-stable and
+    feed()+flush() must equal predict_long on the same audio."""
+
+    def _stream_events(self, predictor, x, chunks, hop_seconds):
+        det = serving.StreamingDetector(predictor, hop_seconds=hop_seconds)
+        emitted, early = [], []
+        pos = 0
+        for size in chunks:
+            out = det.feed(x[pos : pos + size])
+            emitted += out
+            early += out
+            pos += size
+        if pos < len(x):
+            emitted += det.feed(x[pos:])
+        emitted += det.flush()
+        return emitted, early
+
+    @pytest.mark.parametrize("hop_seconds", [None, 0.25])
+    def test_equals_predict_long(self, predictor, hop_seconds):
+        rng = np.random.RandomState(0)
+        n = int(2.7 * predictor.cfg.clip_samples)     # ~3 windows
+        x = (rng.randn(n) * 0.1).astype(np.float32)
+        # loud tones so some events exist
+        t = np.arange(n) / predictor.cfg.sample_rate
+        x += (3.0 * np.sin(2 * np.pi * 800 * t)
+              * (np.sin(2 * np.pi * 0.7 * t) > 0.2))
+        # the untrained fixture model's probs hover around 0.5, so with
+        # the default low=0.2 almost no frame is sub-low and the per-class
+        # stability cut (correctly) withholds everything until flush —
+        # tighten the decode band so the EARLY-emission path is exercised
+        saved = dict(predictor.sed_params)
+        predictor.sed_params.update(
+            sed_high_threshold=0.52, sed_low_threshold=0.46,
+            n_smooth=3, n_salt=2)
+        try:
+            offline = predictor.predict_long(
+                x, hop_seconds=hop_seconds)["events"]
+            chunks = [1000, 7000, 333, 20000, 4096] * 50   # ragged feeds
+            streamed, early = self._stream_events(
+                predictor, x, chunks, hop_seconds)
+        finally:
+            predictor.sed_params.clear()
+            predictor.sed_params.update(saved)
+        assert sorted(streamed) == sorted(offline)
+        # no duplicates across the stream's lifetime
+        assert len(streamed) == len(set(streamed))
+        # early emissions are a subset of the offline result verbatim,
+        # and the early path genuinely fired
+        assert set(early) <= set(offline)
+        assert len(early) > 0
+        assert len(offline) > len(early) >= 1
+
+    def test_feed_after_flush_raises(self, predictor):
+        det = serving.StreamingDetector(predictor)
+        det.flush()
+        with pytest.raises(RuntimeError, match="flushed"):
+            det.feed(np.zeros(100, np.float32))
+        assert det.flush() == []                  # idempotent
+
+    def test_oversized_hop_rejected(self, predictor):
+        with pytest.raises(ValueError, match="exceeds the model window"):
+            serving.StreamingDetector(predictor, hop_seconds=99.0)
