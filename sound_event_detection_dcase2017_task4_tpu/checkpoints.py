@@ -24,7 +24,7 @@ import numpy as np
 from flax import serialization
 
 __all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint",
-           "load_opt_config", "check_opt_config"]
+           "load_opt_config", "check_opt_config", "prune_checkpoints"]
 
 _FNAME = "{iteration}_iterations.ckpt"
 _RE = re.compile(r"^(\d+)_iterations\.ckpt$")
@@ -130,6 +130,31 @@ def load_checkpoint(path: str, state_template, opt_config: dict | None = None):
     return jax.tree_util.tree_map(
         lambda x: jax.numpy.asarray(x) if isinstance(x, np.ndarray) else x,
         state)
+
+
+def prune_checkpoints(directory: str, keep: int,
+                      protect: tuple = ()) -> list[str]:
+    """Delete all but the ``keep`` highest-iteration checkpoints
+    (including their ``.optjson`` / ``.datastate.pkl`` sidecars).
+
+    ``protect`` lists iterations never deleted (e.g. the current best-mAP
+    iteration, so ``--iteration best`` keeps working). ``keep <= 0`` is a
+    no-op (the reference keeps every checkpoint — that stays the
+    default). Returns the deleted checkpoint paths."""
+    if keep <= 0 or not os.path.isdir(directory):
+        return []
+    its = sorted(int(m.group(1)) for name in os.listdir(directory)
+                 if (m := _RE.match(name)))
+    victims = [i for i in its[:-keep] if i not in set(protect)]
+    deleted = []
+    for i in victims:
+        base = os.path.join(directory, _FNAME.format(iteration=i))
+        for path in (base, _sidecar_path(base),
+                     base.replace(".ckpt", ".datastate.pkl")):
+            if os.path.isfile(path):
+                os.unlink(path)
+        deleted.append(base)
+    return deleted
 
 
 def latest_checkpoint(directory: str) -> str | None:

@@ -286,6 +286,16 @@ def do_train(args) -> None:
             checkpoints.save_checkpoint(paths["checkpoints"], state, it,
                                         opt_config=ctx["opt_config"])
             _save_data_state(paths["checkpoints"], gen, it)
+            if getattr(args, "keep_checkpoints", 0) > 0:
+                test_recs = [r for r in statistics.statistics_list
+                             if r.get("data_type") == "test" and "at" in r]
+                best = ((int(max(test_recs,
+                                 key=lambda r: r["at"]["mAP"])["iteration"]),)
+                        if test_recs else ())
+                for victim in checkpoints.prune_checkpoints(
+                        paths["checkpoints"], args.keep_checkpoints,
+                        protect=best):
+                    logger.info("pruned %s", victim)
             eval_time = time.time() - t0 - train_time
             if it > 0 and train_time > 0:
                 cps = args.eval_interval * args.batch_size / train_time
@@ -674,6 +684,10 @@ def main(argv=None) -> None:
     pt.add_argument("--profile_dir", default=None,
                     help="capture a jax.profiler trace of 5 train steps here")
     pt.add_argument("--profile_start", type=int, default=10)
+    pt.add_argument("--keep_checkpoints", type=int, default=0,
+                    help="keep only the N highest-iteration checkpoints, "
+                         "never deleting the best-test-mAP one (0 = keep "
+                         "all, the reference behavior)")
     pt.set_defaults(func=do_train)
 
     # "inference_prob" alias: SURVEY.md §3.3 reconstructs the reference's

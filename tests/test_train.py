@@ -280,3 +280,30 @@ def test_honor_platform_env_is_one_directional(monkeypatch):
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     runtime.honor_platform_env()                 # no-op (already cpu)
     assert jax.config.jax_platforms == "cpu"
+
+
+def test_prune_checkpoints(tiny_model, tmp_path):
+    """Retention keeps the N newest + any protected iteration, removing
+    sidecars alongside (round-4 --keep_checkpoints)."""
+    cfg = Config()
+    state, _ = train.create_train_state(tiny_model, cfg, example_frames=96)
+    oc = train.resolve_opt_config(tiny_model)
+    for it in (0, 10, 20, 30, 40):
+        checkpoints.save_checkpoint(str(tmp_path), state, it, opt_config=oc)
+        (tmp_path / f"{it}_iterations.datastate.pkl").write_bytes(b"x")
+
+    deleted = checkpoints.prune_checkpoints(str(tmp_path), keep=2,
+                                            protect=(10,))
+    names = sorted(os.listdir(tmp_path))
+    # kept: 30, 40 (newest two) + protected 10; deleted: 0, 20
+    assert [os.path.basename(d) for d in deleted] == [
+        "0_iterations.ckpt", "20_iterations.ckpt"]
+    for it in (10, 30, 40):
+        assert f"{it}_iterations.ckpt" in names
+        assert f"{it}_iterations.optjson" in names
+    for it in (0, 20):
+        assert f"{it}_iterations.ckpt" not in names
+        assert f"{it}_iterations.optjson" not in names
+        assert f"{it}_iterations.datastate.pkl" not in names
+    # keep=0 is the reference behavior: no-op
+    assert checkpoints.prune_checkpoints(str(tmp_path), keep=0) == []
