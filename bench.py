@@ -199,9 +199,13 @@ METRIC_NAME = f"logmel+CRNN train throughput (10s clips, batch {BATCH})"
 # UNAVAILABLE (BENCH_r03 rc=1) and once hanging jax.devices() forever.
 # Probe the backend in a bounded subprocess before committing the main
 # process to an in-process init that may never return.
-PROBE_TIMEOUT_S = int(os.environ.get("SEDX_BENCH_PROBE_TIMEOUT", 180))
+# worst case (hang-mode tunnel): ATTEMPTS×TIMEOUT + (ATTEMPTS-1)×BACKOFF
+# = 540 s before the structured-error line — inside any driver timeout
+# that accommodated the 615 s healthy cold-compile run of round 2.
+# Healthy backend init is ~10-60 s, so 150 s per probe has ample margin.
+PROBE_TIMEOUT_S = int(os.environ.get("SEDX_BENCH_PROBE_TIMEOUT", 150))
 PROBE_ATTEMPTS = int(os.environ.get("SEDX_BENCH_PROBE_ATTEMPTS", 3))
-PROBE_BACKOFF_S = int(os.environ.get("SEDX_BENCH_PROBE_BACKOFF", 60))
+PROBE_BACKOFF_S = int(os.environ.get("SEDX_BENCH_PROBE_BACKOFF", 45))
 # cold Mosaic remote-compile can hit ~780 s (BASELINE.md); retry is shorter
 # because by then the persistent compile cache is warm
 BENCH_TIMEOUTS_S = tuple(int(x) for x in os.environ.get(
