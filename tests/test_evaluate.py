@@ -214,6 +214,31 @@ def test_plot_results_text_fallback(tmp_path, capsys, monkeypatch):
         assert "TestNet" in capsys.readouterr().out
 
 
+def test_plot_results_non_scalar_metric_warns_not_crashes(tmp_path, capsys):
+    """A dotted path resolving to an ARRAY (per-class metric without the
+    class segment) must produce the friendly no-curves guidance, not a
+    TypeError traceback (round-3 advisor finding)."""
+    from sound_event_detection_dcase2017_task4_tpu import plot_results
+
+    ws = tmp_path
+    stats_dir = (ws / "statistics" / "main" / "model_type=TestNet" /
+                 "loss_type=clip_bce" / "augmentation=none" / "batch_size=8")
+    stats_dir.mkdir(parents=True)
+    records = [{"iteration": 0, "data_type": "test",
+                "at": {"mAP": 0.3, "average_precision": [0.1, 0.2, 0.3]}}]
+    with open(stats_dir / "statistics.pickle", "wb") as f:
+        pickle.dump(records, f)
+
+    with pytest.raises(SystemExit) as exc:   # friendly exit, not TypeError
+        plot_results.main([f"--workspace={ws}",
+                           f"--out={ws / 'o.png'}",
+                           "--metric=at.average_precision"])
+    msg = str(exc.value)
+    assert "no curves" in msg
+    assert "per-class form" in msg
+    assert "matched no records" in capsys.readouterr().out
+
+
 class TestLosses:
     def test_clip_bce_matches_hand_computed(self):
         import jax.numpy as jnp
