@@ -42,6 +42,7 @@ from .ops.stft import make_logmel_fn
 from .parallel import (batch_sharding, make_mesh_for_batch,
                        replicated_sharding)
 from .utils import StatisticsContainer, create_folder, create_logging
+from .utils.statistics import best_iteration
 
 
 def _holdout_fold(args) -> int | None:
@@ -343,34 +344,19 @@ def do_train(args) -> None:
     logger.info("done at iter %d", it)
 
 
-def _best_iteration(paths) -> int:
-    """The eval iteration with the highest test-split mAP in this run's
-    statistics — `--iteration best` model selection (checkpoints are
-    written at every eval, so the argmax iteration always has one)."""
-    stats_path = paths["statistics"]
-    if not os.path.isfile(stats_path):
-        raise FileNotFoundError(
-            f"--iteration best needs {stats_path} (train first)")
-    with open(stats_path, "rb") as f:
-        records = pickle.load(f)
-    test = [r for r in records if r.get("data_type") == "test"
-            and "at" in r]
-    if not test:
-        raise ValueError(
-            f"--iteration best: no test-split eval records in {stats_path}")
-    best = max(test, key=lambda r: r["at"]["mAP"])
-    print(f"--iteration best → iter {best['iteration']} "
-          f"(test mAP {best['at']['mAP']:.4f} over {len(test)} evals)")
-    return int(best["iteration"])
-
-
 def _resolve_ckpt(args, paths) -> str:
     it = args.iteration
     if isinstance(it, str):
-        if it != "best":
-            raise SystemExit(
-                f"--iteration must be an integer or 'best', got {it!r}")
-        it = _best_iteration(paths)
+        if it == "best":
+            it, m, n = best_iteration(paths["statistics"])
+            print(f"--iteration best → iter {it} "
+                  f"(test mAP {m:.4f} over {n} evals)")
+        else:
+            try:
+                it = int(it)        # argparse delivers strings
+            except ValueError:
+                raise SystemExit(
+                    f"--iteration must be an integer or 'best', got {it!r}")
     if it is not None:
         ckpt = os.path.join(paths["checkpoints"],
                             f"{int(it)}_iterations.ckpt")

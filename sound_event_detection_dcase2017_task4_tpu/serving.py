@@ -90,21 +90,20 @@ class Predictor:
         model = get_model(model_type, dtype=dtype)
         ckpt_dir = os.path.join(workspace, "checkpoints", "main",
                                 f"model_type={model_type}", run_config)
+        pinned = iteration is not None
         if iteration == "best":
-            import pickle
+            from .utils.statistics import best_iteration
 
             stats = os.path.join(workspace, "statistics", "main",
                                  f"model_type={model_type}", run_config,
                                  "statistics.pickle")
-            with open(stats, "rb") as f:
-                records = pickle.load(f)
-            test = [r for r in records
-                    if r.get("data_type") == "test" and "at" in r]
-            if not test:
-                raise ValueError(f"iteration='best': no test-split eval "
-                                 f"records in {stats}")
-            iteration = int(max(test, key=lambda r: r["at"]["mAP"])
-                            ["iteration"])
+            iteration, _, _ = best_iteration(stats)
+            # tuned SED params are tuned against the NEWEST snapshot; when
+            # 'best' happens to BE the newest, auto-loading them is exactly
+            # as safe as iteration=None — only a genuinely older pick pins
+            latest = checkpoints.latest_checkpoint(ckpt_dir)
+            pinned = latest is None or not latest.endswith(
+                f"{os.sep}{iteration}_iterations.ckpt")
         path = (os.path.join(ckpt_dir, f"{iteration}_iterations.ckpt")
                 if iteration is not None
                 else checkpoints.latest_checkpoint(ckpt_dir))
@@ -136,7 +135,7 @@ class Predictor:
                                f"model_type={model_type}", run_config,
                                "sed.pickle")
             if os.path.isfile(opt):
-                if iteration is not None:
+                if pinned:
                     log.warning(
                         "serving: NOT auto-loading %s — iteration=%d is "
                         "explicitly pinned and the tuned decode params "
@@ -268,11 +267,14 @@ class StreamingDetector:
     ``predict_long(concat(chunks), hop_seconds)`` produces
     (`tests/test_serving.py` asserts list equality on random streams).
 
-    Memory/CPU: the stitched probability timeline grows with the stream
-    (``frames_per_second × classes`` floats — ~7 MB/hour at the DCASE
-    config) and each drain re-decodes it (a few ms/hour of timeline;
-    run-list decode is vectorized). Good for hours, not days; restart the
-    detector at natural session boundaries for unbounded streams.
+    Memory/CPU: consumed audio is dropped as windows complete (the buffer
+    holds O(window) samples, not the stream); the stitched probability
+    timeline does grow with the stream (``frames_per_second × classes``
+    f64 accumulators — ~50 MB/hour at the DCASE config) and is re-decoded on each
+    drain (a few ms/hour of timeline; drains run only when a window
+    completed, i.e. once per hop, not per feed). Good for hours, not
+    days; restart the detector at natural session boundaries for
+    unbounded streams.
     """
 
     def __init__(self, predictor: Predictor,
@@ -287,7 +289,9 @@ class StreamingDetector:
                 f"hop_seconds={hop_seconds} exceeds the model window "
                 f"({self.window / cfg.sample_rate:.1f} s)")
         self.hop = max(cfg.hop_size, hop // cfg.hop_size * cfg.hop_size)
-        self._buf = np.zeros(0, np.float32)      # absolute sample history
+        self._buf = np.zeros(0, np.float32)      # UNCONSUMED tail only
+        self._base = 0                           # abs index of _buf[0]
+        self._total = 0                          # abs samples received
         self._next_start = 0                     # next window start (abs)
         frames = cfg.frames_num
         self._acc = np.zeros((frames, len(predictor.labels)), np.float64)
@@ -320,11 +324,21 @@ class StreamingDetector:
             raise RuntimeError("StreamingDetector already flushed")
         x = np.asarray(samples, np.float32).reshape(-1)
         self._buf = np.concatenate([self._buf, x])
-        while self._next_start + self.window <= len(self._buf):
-            self._run_window(
-                self._next_start,
-                self._buf[self._next_start : self._next_start + self.window])
+        self._total += len(x)
+        ran = False
+        while self._next_start + self.window <= self._total:
+            lo = self._next_start - self._base
+            self._run_window(self._next_start,
+                             self._buf[lo : lo + self.window])
             self._next_start += self.hop
+            ran = True
+        if self._next_start > self._base:
+            # samples before the next window start are consumed forever —
+            # drop them so a live stream holds O(window) audio, not hours
+            self._buf = self._buf[self._next_start - self._base :]
+            self._base = self._next_start
+        if not ran:
+            return []           # settled region unchanged: nothing can emit
         return self._drain(final=False)
 
     def flush(self) -> List[tuple]:
@@ -333,20 +347,23 @@ class StreamingDetector:
         if self._flushed:
             return []
         self._flushed = True
-        total = len(self._buf)
+        total = self._total
         n_win = max(1, -(-(max(total - self.window, 0)) // self.hop) + 1)
-        padded = np.zeros((n_win - 1) * self.hop + self.window, np.float32)
-        padded[:total] = self._buf
-        while self._next_start <= (n_win - 1) * self.hop:
-            self._run_window(
-                self._next_start,
-                padded[self._next_start : self._next_start + self.window])
-            self._next_start += self.hop
+        last_start = (n_win - 1) * self.hop
+        if self._next_start <= last_start:
+            tail = np.zeros(last_start + self.window - self._base,
+                            np.float32)
+            tail[: len(self._buf)] = self._buf
+            while self._next_start <= last_start:
+                lo = self._next_start - self._base
+                self._run_window(self._next_start,
+                                 tail[lo : lo + self.window])
+                self._next_start += self.hop
         return self._drain(final=True)
 
     def _drain(self, final: bool) -> List[tuple]:
         cfg = self.p.cfg
-        total_frames = (1 + len(self._buf) // cfg.hop_size if final
+        total_frames = (1 + self._total // cfg.hop_size if final
                         else self._next_start // cfg.hop_size)
         total_frames = min(total_frames, self._acc.shape[0])
         if total_frames <= 0:

@@ -17,7 +17,28 @@ from typing import Dict, List
 
 import numpy as np
 
-__all__ = ["StatisticsContainer"]
+__all__ = ["StatisticsContainer", "best_iteration"]
+
+
+def best_iteration(statistics_path: str) -> tuple:
+    """``(iteration, mAP, n_evals)`` of the highest test-split mAP eval in
+    a run's ``statistics.pickle`` — the single model-selection rule behind
+    the CLI's ``--iteration best`` and serving's ``iteration="best"``
+    (checkpoints are written at every eval, so the argmax iteration always
+    has one)."""
+    if not os.path.isfile(statistics_path):
+        raise FileNotFoundError(
+            f"'best' model selection needs {statistics_path} (train first)")
+    with open(statistics_path, "rb") as f:
+        records = pickle.load(f)
+    test = [r for r in records
+            if r.get("data_type") == "test" and "at" in r]
+    if not test:
+        raise ValueError(
+            f"'best' model selection: no test-split eval records in "
+            f"{statistics_path}")
+    best = max(test, key=lambda r: r["at"]["mAP"])
+    return int(best["iteration"]), float(best["at"]["mAP"]), len(test)
 
 
 def _jsonable(obj):

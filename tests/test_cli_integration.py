@@ -389,3 +389,13 @@ def test_inference_iteration_best(workspace, capsys):
     out = capsys.readouterr().out
     assert "--iteration best → iter" in out
     assert "checkpoint:" in out
+
+    # numeric pinning still works (round-4 review regression: dropping
+    # type=int from the flag made every numeric string rejected)
+    main.main(["inference", f"--workspace={workspace}", *COMMON,
+               "--iteration", "6", "--data_type=testing"])
+    assert "6_iterations.ckpt" in capsys.readouterr().out
+
+    with pytest.raises(SystemExit, match="integer or 'best'"):
+        main.main(["inference", f"--workspace={workspace}", *COMMON,
+                   "--iteration", "bogus", "--data_type=testing"])

@@ -335,3 +335,65 @@ class TestStreamingDetector:
     def test_oversized_hop_rejected(self, predictor):
         with pytest.raises(ValueError, match="exceeds the model window"):
             serving.StreamingDetector(predictor, hop_seconds=99.0)
+
+
+def test_streaming_buffer_stays_bounded(predictor):
+    """Consumed audio must be dropped: the detector holds O(window)
+    samples however long the stream runs (round-4 review finding)."""
+    det = serving.StreamingDetector(predictor, hop_seconds=0.25)
+    chunk = 4096
+    for _ in range(40):                         # ~10 windows' worth
+        det.feed(np.zeros(chunk, np.float32))
+    assert len(det._buf) <= det.window + chunk
+    assert det._base + len(det._buf) == det._total
+
+
+def test_from_workspace_best_equals_latest_autoloads_tuned(tmp_path):
+    """iteration='best' that resolves to the NEWEST checkpoint must apply
+    the run's tuned SED params exactly like iteration=None would."""
+    import os
+    import pickle
+
+    import h5py
+
+    from sound_event_detection_dcase2017_task4_tpu import checkpoints
+
+    cfg = Config(clip_samples=16000)
+    model = SedCnn(classes_num=17, channels=(8, 16), head="att")
+    state, _ = train.create_train_state(model, cfg)
+    model_type, run_config = "TinyBL", "loss_type=clip_bce/batch_size=8"
+    ws = str(tmp_path)
+    ckpt_dir = os.path.join(ws, "checkpoints", "main",
+                            f"model_type={model_type}", run_config)
+    os.makedirs(ckpt_dir)
+    checkpoints.save_checkpoint(ckpt_dir, state, 3)
+    checkpoints.save_checkpoint(ckpt_dir, state, 9)   # latest == best below
+    stats_dir = os.path.join(ws, "statistics", "main",
+                             f"model_type={model_type}", run_config)
+    os.makedirs(stats_dir)
+    with open(os.path.join(stats_dir, "statistics.pickle"), "wb") as f:
+        pickle.dump([
+            {"iteration": 3, "data_type": "test", "at": {"mAP": 0.4}},
+            {"iteration": 9, "data_type": "test", "at": {"mAP": 0.8}},
+        ], f)
+    os.makedirs(os.path.join(ws, "scalars"))
+    with h5py.File(os.path.join(ws, "scalars", "training.h5"), "w") as hf:
+        hf["mean"] = np.zeros(cfg.mel_bins, np.float32)
+        hf["std"] = np.ones(cfg.mel_bins, np.float32)
+    opt_dir = os.path.join(ws, "opt_thresholds", "main",
+                           f"model_type={model_type}", run_config)
+    os.makedirs(opt_dir)
+    with open(os.path.join(opt_dir, "sed.pickle"), "wb") as f:
+        pickle.dump({"sed_params": {"n_smooth": 7, "n_salt": 4},
+                     "score": 0.9}, f)
+
+    import sound_event_detection_dcase2017_task4_tpu.models as _m
+    _m.MODEL_REGISTRY.setdefault("TinyBL",
+                                 dict(channels=(8, 16), head="att"))
+    try:
+        pred = serving.Predictor.from_workspace(
+            ws, model_type, run_config, cfg=cfg, iteration="best")
+    finally:
+        _m.MODEL_REGISTRY.pop("TinyBL", None)
+    assert pred.sed_params["n_smooth"] == 7      # tuned params applied
+    assert pred.sed_params["n_salt"] == 4
