@@ -92,7 +92,6 @@ def check_opt_config(ckpt_path: str, expected: dict) -> None:
         return                                  # legacy checkpoint: trust caller
     diffs = {k: (saved.get(k), expected.get(k))
              for k in _STRUCTURAL_KEYS
-             # treat 0 and 0.0 as equal but None as different from 0
              if saved.get(k) != expected.get(k)}
     if diffs:
         raise ValueError(

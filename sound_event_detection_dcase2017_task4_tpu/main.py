@@ -500,28 +500,16 @@ def do_calculate_metrics(args) -> None:
                 print(f"{lb:<34} {cw['f_measure']:>7.4f} "
                       f"{cw['error_rate']:>7.4f} {cw['nref']:>6.0f}")
     if getattr(args, "metrics_out", None):
-        # machine-readable FULL-SPLIT metrics (json; numpy → lists, NaN →
-        # null so the file is SPEC-valid JSON — per-class AP/AUC are NaN
-        # for classes with no positives, and json.dump's default NaN
-        # token breaks strict consumers like jq/JSON.parse) — the
+        # machine-readable FULL-SPLIT metrics, spec-valid JSON (numpy →
+        # native, NaN/Inf → null via the shared converter) — the
         # hard-benchmark matrix and regression gates read this instead of
         # the truncated training-time eval window (round-4 verdict item 2)
-        def _tolist(x):
-            if isinstance(x, dict):
-                return {k: _tolist(v) for k, v in x.items()}
-            if hasattr(x, "tolist"):
-                x = x.tolist()
-            if isinstance(x, list):
-                return [_tolist(v) for v in x]
-            if isinstance(x, float) and (x != x or x in (float("inf"),
-                                                         float("-inf"))):
-                return None
-            return x
+        from .utils.statistics import jsonable
 
         with open(args.metrics_out, "w") as f:
             json.dump({"data_type": args.data_type,
                        "n_clips": int(len(preds["audio_name"])),
-                       **_tolist(metrics_record)}, f, allow_nan=False)
+                       **jsonable(metrics_record)}, f, allow_nan=False)
         print(f"metrics json → {args.metrics_out}")
 
 

@@ -297,6 +297,7 @@ class StreamingDetector:
         self._acc = np.zeros((frames, len(predictor.labels)), np.float64)
         self._cnt = np.zeros((frames, 1), np.float64)
         self._emitted: set = set()
+        self._lb_to_c = {lb: c for c, lb in enumerate(predictor.labels)}
         self._flushed = False
 
     def _grow(self, frames_needed: int) -> None:
@@ -392,11 +393,10 @@ class StreamingDetector:
         events = sed.events_from_binary(
             active, cfg.frames_per_second, self.p.labels)[0]
 
-        lb_to_c = {lb: c for c, lb in enumerate(self.p.labels)}
         out = []
         for onset, offset, label in events:
             off_f = int(round(offset * cfg.frames_per_second))
-            if not final and off_f + n_smooth > cuts[lb_to_c[label]]:
+            if not final and off_f + n_smooth > cuts[self._lb_to_c[label]]:
                 continue                         # future audio could merge
             key = (label, round(onset, 6))
             if key in self._emitted:

@@ -17,7 +17,7 @@ from typing import Dict, List
 
 import numpy as np
 
-__all__ = ["StatisticsContainer", "best_iteration"]
+__all__ = ["StatisticsContainer", "best_iteration", "jsonable"]
 
 
 def best_iteration(statistics_path: str) -> tuple:
@@ -41,18 +41,24 @@ def best_iteration(statistics_path: str) -> tuple:
     return int(best["iteration"]), float(best["at"]["mAP"]), len(test)
 
 
-def _jsonable(obj):
+def jsonable(obj):
+    """Spec-valid-JSON conversion: numpy → native, NaN/Inf → null (strict
+    JSON has no NaN token; per-class AP is NaN for classes without
+    positives). Shared by the JSONL mirror and ``--metrics_out``."""
     if isinstance(obj, dict):
-        return {k: _jsonable(v) for k, v in obj.items()}
+        return {k: jsonable(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):
-        return [_jsonable(v) for v in obj]
+        return [jsonable(v) for v in obj]
     if isinstance(obj, np.ndarray):
-        return [_jsonable(v) for v in obj.tolist()]
+        return [jsonable(v) for v in obj.tolist()]
     if isinstance(obj, (np.floating, np.integer)):
         obj = obj.item()
     if isinstance(obj, float) and not np.isfinite(obj):
-        return None            # strict JSON has no NaN/Inf (per-class AP is
-    return obj                 # NaN for classes without positives)
+        return None
+    return obj
+
+
+_jsonable = jsonable           # original private spelling (internal callers)
 
 
 class StatisticsContainer:

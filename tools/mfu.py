@@ -30,8 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 V5E_BF16_PEAK = 197e12
-BATCH = 128         # bench.py config
 STEP_MS_DEFAULT = 84.3   # round-2b wall clock (RESULTS.md; bench 1519 c/s)
+
+# the measured configuration IS bench.py's — import its constants so this
+# denominator can't drift from the thing being measured
+from bench import BATCH, MODEL_TYPE  # noqa: E402
 
 
 def step_flops(batch: int = BATCH) -> float:
@@ -49,7 +52,7 @@ def step_flops(batch: int = BATCH) -> float:
         make_logmel_fn)
 
     cfg = DEFAULT
-    model = get_model("Cnn_9layers_Gru_FrameAtt", dtype=jnp.bfloat16,
+    model = get_model(MODEL_TYPE, dtype=jnp.bfloat16,
                       remat=False)
     frontend = make_logmel_fn(cfg, use_pallas=False, precision="fast")
     state, tx = train.create_train_state(model, cfg)
