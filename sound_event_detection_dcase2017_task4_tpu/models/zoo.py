@@ -100,7 +100,9 @@ class SedCnn(nn.Module):
     * ``block="conv"|"glu"`` — plain ConvBlock stack or gated-GLU stack
     * ``channels`` — stack widths, 2×2 pooled after each block
     * ``seq="none"|"gru"|"transformer"`` — temporal model on frame features
-    * ``head="max"|"avg"|"att"`` — clipwise aggregation over frames (MIL)
+    * ``head="max"|"avg"|"att"|"lin"|"exp"`` — clipwise aggregation over
+      frames (MIL; ``lin``/``exp`` are the linear-/exp-softmax poolings of
+      arXiv:1810.09050)
     """
 
     classes_num: int = _default_classes
@@ -167,6 +169,19 @@ class SedCnn(nn.Module):
                 clipwise = jnp.max(framewise, axis=1)
             elif self.head == "avg":
                 clipwise = jnp.mean(framewise, axis=1)
+            elif self.head == "lin":
+                # linear-softmax MIL pooling (Wang et al. 2019,
+                # arXiv:1810.09050 — the best localizer of the five
+                # pooling functions compared there): Σy² / Σy per class,
+                # self-weighted so confident frames dominate without
+                # max-pooling's single-frame gradient
+                clipwise = ((framewise ** 2).sum(axis=1)
+                            / jnp.maximum(framewise.sum(axis=1), 1e-7))
+            elif self.head == "exp":
+                # exp-softmax MIL pooling (same comparison): Σ y·e^y / Σ e^y
+                w = jnp.exp(framewise)
+                clipwise = ((framewise * w).sum(axis=1)
+                            / jnp.maximum(w.sum(axis=1), 1e-7))
             else:
                 raise ValueError(f"unknown head {self.head!r}")
 
@@ -194,6 +209,12 @@ MODEL_REGISTRY: dict[str, dict] = {
     "Cnn_9layers_MaxPooling": _cfg(head="max"),
     "Cnn_9layers_AvgPooling": _cfg(head="avg"),
     "Cnn_9layers_AttPooling": _cfg(head="att"),
+    # linear-/exp-softmax MIL pooling (arXiv:1810.09050's comparison —
+    # linear softmax is its best localizer; TPU-native extras beyond the
+    # reference's max/avg/att)
+    "Cnn_9layers_LinPooling": _cfg(head="lin"),
+    "Cnn_9layers_ExpPooling": _cfg(head="exp"),
+    "Cnn_9layers_Gru_FrameLin": _cfg(seq="gru", head="lin"),
     "Cnn_13layers_AvgPooling": _cfg(
         channels=(64, 128, 256, 512, 1024, 2048), head="avg"),
     # gated-GLU CNN with attention pooling (BASELINE.json config #2)

@@ -222,3 +222,31 @@ def test_fast_dropout_rate_one_drops_everything():
     y = Dropout(rate=1.0, deterministic=False).apply(
         {}, x, rngs={"dropout": jax.random.PRNGKey(0)})
     np.testing.assert_array_equal(np.asarray(y), np.zeros_like(x))
+
+
+def test_lin_exp_pooling_properties():
+    """Linear-/exp-softmax MIL poolings (arXiv:1810.09050): both are
+    self-weighted means of the framewise probabilities, so clipwise must
+    lie in [framewise min, framewise max] and dominate plain averaging
+    (E[y^2]/E[y] = E[y] + Var/E[y] >= E[y])."""
+    import numpy as np
+
+    from sound_event_detection_dcase2017_task4_tpu.models import get_model
+
+    x = np.random.RandomState(0).randn(2, 64, 64).astype(np.float32)
+    for name in ("Cnn_9layers_LinPooling", "Cnn_9layers_ExpPooling"):
+        model = get_model(name)
+        import jax
+
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               x, train=False)
+        out = model.apply(variables, x, train=False)
+        clip = np.asarray(out["clipwise_output"])
+        frame_pre = np.asarray(out["framewise_output"])
+        assert clip.shape == (2, 17)
+        assert (clip >= 0).all() and (clip <= 1).all()
+        # self-weighted mean >= plain mean of the same framewise probs
+        # (framewise_output is the upsampled repeat of the pooled frames,
+        # so its mean equals the pre-upsample mean up to edge padding)
+        avg = frame_pre.mean(axis=1)
+        assert (clip >= avg - 1e-3).all(), name
