@@ -169,3 +169,34 @@ def test_no_normalization_control_identity_scalar(tmp_path):
     finally:
         h5mod.load_scalar = orig_h5
         main_mod.load_scalar = orig_main
+
+
+def test_ordering_conclusion_printed_only_with_seed_repeats(tmp_path,
+                                                            capsys):
+    """The family-ordering line needs >= 2 runs per family (single-seed
+    orderings were what round 3 over-read); with repeats it marks each
+    adjacent gap as separated or within-noise."""
+    import json
+
+    ws = str(tmp_path)
+    for model, means in [(m, (0.2 + 0.1 * i, 0.21 + 0.1 * i))
+                         for i, m in enumerate(hard_benchmark.MODELS)]:
+        for seed, m in zip((1, 2), means):
+            d = os.path.join(ws, f"seed_{seed}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(
+                    d, f"full_eval_{model}_bs32_it3000.json"), "w") as f:
+                json.dump({"at": {"mAP": m},
+                           "sed": {"overall": {"f_measure":
+                                               {"f_measure": 0.5}}}}, f)
+    hard_benchmark._print_full_table(ws, 32)
+    out = capsys.readouterr().out
+    assert "family ordering" in out
+    assert "  <  " in out           # 0.1 gaps >> 0.005 stds: separated
+
+    # drop one family to a single run: the conclusion must stay silent
+    os.unlink(os.path.join(ws, "seed_2",
+                           f"full_eval_{hard_benchmark.MODELS[0]}"
+                           "_bs32_it3000.json"))
+    hard_benchmark._print_full_table(ws, 32)
+    assert "family ordering" not in capsys.readouterr().out

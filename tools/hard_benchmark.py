@@ -364,6 +364,33 @@ def _print_full_table(ws, batch_size) -> None:
     for control, delta in deltas:
         print(f"full-split control regression [{control}]: "
               f"ΔmAP = {delta:+.3f}")
+    _ordering_conclusion(ws, batch_size)
+
+
+def _ordering_conclusion(ws, batch_size) -> None:
+    """The explicit family-ordering statement the benchmark exists to
+    test (round-4 verdict item 2): rank families by mean full-split mAP
+    and call each adjacent gap separated (> pooled std) or within noise.
+    Only speaks when every family has >= 2 runs — single-seed orderings
+    were what round 3 over-read."""
+    import numpy as np
+
+    stats = {}
+    for model in MODELS:
+        recs = _collect_full(ws, model, batch_size)
+        if len(recs) < 2:
+            return
+        maps = np.array([r["at"]["mAP"] for r in recs])
+        stats[model] = (maps.mean(), maps.std())
+    ranked = sorted(stats.items(), key=lambda kv: kv[1][0])
+    parts = [ranked[0][0]]
+    for (a, (ma, sa)), (b, (mb, sb)) in zip(ranked, ranked[1:]):
+        gap = mb - ma
+        noise = max(sa, sb, 1e-9)
+        parts.append(("  <  " if gap > noise else "  <~ ") + b)
+    print("\nfamily ordering (full-split mAP, all seeds; '<' = gap "
+          "exceeds both stds, '<~' = within noise):")
+    print("  " + "".join(parts))
 
 
 def do_report(args) -> None:
