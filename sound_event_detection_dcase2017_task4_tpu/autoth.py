@@ -129,6 +129,90 @@ def exact_f1_thresholds(clipwise: np.ndarray, target: np.ndarray,
     return out
 
 
+def _score_from_counts(per_class) -> float:
+    """Overall segment F1 from per-class integer counts — the same
+    float64 arithmetic as ``DeviceSegmentScorer.score_params``."""
+    tp, fp, fn = (int(v) for v in per_class.sum(axis=1))
+    denom = 2 * tp + fp + fn
+    return (2 * tp / denom) if denom else 0.0
+
+
+def _ascent_via_counts(counts_fn, h0, l0, n_smooth, n_salt,
+                       step: float, max_iter: int,
+                       bounds=(0.0, 1.0)) -> tuple[float, np.ndarray]:
+    """Coordinate ascent over ``[high; low]`` with BATCHED device work.
+
+    Produces the EXACT trajectory of :class:`HyperParamsOptimizer` on the
+    same objective (same visit order, accept rule, tie epsilon, clipping,
+    annealing) while dispatching 9 grid evaluations per sweep instead of
+    up to ``4·C`` sequential ones. The trick: class ``c``'s segment
+    counts depend only on ``(high_c, low_c)``, so one device call at
+    displaced THRESHOLD VECTORS ``(h+dh·s, l+dl·s)`` yields, per class,
+    the counts of the per-coordinate candidate the sequential algorithm
+    would have evaluated — within a sweep a class moves at most once in
+    each of its two coordinates, so the 3×3 displacement grid covers
+    every reachable per-class state. Candidate totals are then exact
+    integer recombinations on the host (Σ counts − counts_c + cand_c).
+
+    ``counts_fn(high[C], low[C], n_smooth, n_salt) -> int64 [3, C]``.
+    The hysteresis clamp (``low ≤ high``) is applied here exactly where
+    the sequential path's score wrapper applies it.
+    """
+    c = len(h0)
+    lo, hi = bounds
+    h = np.asarray(h0, np.float64).copy()
+    l = np.asarray(l0, np.float64).copy()
+
+    def grid_counts(hh, ll):
+        return counts_fn(hh, np.minimum(ll, hh), n_smooth, n_salt)
+
+    best = _score_from_counts(grid_counts(h, l))
+    s = step
+    for _ in range(max_iter):
+        h_start, l_start = h.copy(), l.copy()
+        grid = {}
+        for dh in (-1, 0, 1):
+            for dl in (-1, 0, 1):
+                grid[(dh, dl)] = grid_counts(
+                    np.clip(h_start + dh * s, lo, hi),
+                    np.clip(l_start + dl * s, lo, hi))
+        cur = grid[(0, 0)].copy()                # per-class current counts
+        disp_h = np.zeros(c, np.int64)           # accepted Δhigh per class
+        improved = False
+        for k in range(2 * c):
+            ci, is_high = k % c, k < c
+            for direction in (1, -1):
+                if is_high:
+                    cand_val = float(np.clip(h_start[ci] + direction * s,
+                                             lo, hi))
+                    if cand_val == h[ci]:
+                        continue                 # clip made it a no-op
+                    state = (direction, 0)
+                else:
+                    cand_val = float(np.clip(l_start[ci] + direction * s,
+                                             lo, hi))
+                    if cand_val == l[ci]:
+                        continue
+                    state = (int(disp_h[ci]), direction)
+                cand = cur.copy()
+                cand[:, ci] = grid[state][:, ci]
+                sc = _score_from_counts(cand)
+                if sc > best + 1e-12:
+                    best, cur = sc, cand
+                    if is_high:
+                        h[ci] = cand_val
+                        disp_h[ci] = direction
+                    else:
+                        l[ci] = cand_val
+                    improved = True
+                    break
+        if not improved:
+            s *= 0.5                             # anneal, as the
+            if s < 1e-3:                         # sequential optimizer does
+                break
+    return best, np.concatenate([h, l])
+
+
 def optimize_sed_params(
     score_fn: Callable[[Dict], float],
     classes_num: int,
@@ -138,6 +222,7 @@ def optimize_sed_params(
     init_low: float = 0.25,
     step: float = 0.05,
     max_iter: int = 20,
+    counts_fn=None,
 ) -> tuple[float, Dict]:
     """Full ``sed_params_dict`` search (reference: the paper's autoth over
     per-class high/low hysteresis pairs plus the smoothing lengths;
@@ -150,10 +235,16 @@ def optimize_sed_params(
 
     1. grid over the discrete ``(n_smooth, n_salt)`` pair at the scalar init
        thresholds (the smoothing lengths interact weakly with thresholds);
-    2. coordinate ascent (:class:`HyperParamsOptimizer`) over the joint
-       ``2C``-dim vector ``[high; low]`` at the winning smoothing lengths,
-       with the hysteresis constraint ``low <= high`` enforced by clamping
-       inside the score wrapper.
+    2. coordinate ascent over the joint ``2C``-dim vector ``[high; low]``
+       at the winning smoothing lengths, with the hysteresis constraint
+       ``low <= high`` enforced by clamping inside the score wrapper.
+
+    With ``counts_fn`` (``DeviceSegmentScorer.per_class_counts``) stage 2
+    runs :func:`_ascent_via_counts` — the identical trajectory with ~9
+    device dispatches per sweep instead of up to ``4·C`` (the search is
+    dispatch-bound on the tunneled dev TPU: ~30 ms round trip of the
+    51.6 ms/eval); without it, the sequential
+    :class:`HyperParamsOptimizer` evaluates ``score_fn`` directly.
     """
 
     def params_of(high, low, n_smooth, n_salt) -> Dict:
@@ -167,15 +258,23 @@ def optimize_sed_params(
     best_score, best_ns, best_na = -np.inf, smooth_grid[0], salt_grid[0]
     for ns in smooth_grid:
         for na in salt_grid:
-            s = float(score_fn(params_of(h0, l0, ns, na)))
+            if counts_fn is not None:
+                s = _score_from_counts(counts_fn(h0, l0, ns, na))
+            else:
+                s = float(score_fn(params_of(h0, l0, ns, na)))
             if s > best_score:
                 best_score, best_ns, best_na = s, ns, na
 
-    def vec_score(v: np.ndarray) -> float:
-        return float(score_fn(params_of(v[:classes_num], v[classes_num:],
-                                        best_ns, best_na)))
+    if counts_fn is not None:
+        best, v = _ascent_via_counts(counts_fn, h0, l0, best_ns, best_na,
+                                     step, max_iter)
+    else:
+        def vec_score(v: np.ndarray) -> float:
+            return float(score_fn(params_of(v[:classes_num],
+                                            v[classes_num:],
+                                            best_ns, best_na)))
 
-    opt = HyperParamsOptimizer(vec_score, step=step, max_iter=max_iter)
-    best, v = opt.do_optimize(np.concatenate([h0, l0]))
+        opt = HyperParamsOptimizer(vec_score, step=step, max_iter=max_iter)
+        best, v = opt.do_optimize(np.concatenate([h0, l0]))
     return best, params_of(v[:classes_num], v[classes_num:],
                            best_ns, best_na)

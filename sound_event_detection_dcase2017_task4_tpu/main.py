@@ -569,6 +569,7 @@ def do_optimize_sed_thresholds(args) -> None:
     # search finishes before the device program would finish compiling
     # (measured 2 s numpy vs 45 s compile on a 6-clip corpus; 488×1001×17
     # is ~hours numpy vs 75 s device)
+    counts_fn = None
     if getattr(args, "numpy_search", False) or fw.size < 2_000_000:
         score = numpy_score
     else:
@@ -576,10 +577,15 @@ def do_optimize_sed_thresholds(args) -> None:
         scorer = DeviceSegmentScorer(fw, names, gt, labels,
                                      DEFAULT.frames_per_second)
         score = scorer.score_params
+        # per-class counts enable the grid-ascent fast path: ~9 device
+        # dispatches per ascent sweep instead of up to 4·C sequential
+        # evals, same trajectory (autoth._ascent_via_counts)
+        counts_fn = scorer.per_class_counts
 
     t0 = time.time()
     base_score = numpy_score(dict(sed.sed_params_dict))
-    best, params = autoth.optimize_sed_params(score, classes_num)
+    best, params = autoth.optimize_sed_params(score, classes_num,
+                                              counts_fn=counts_fn)
     best = numpy_score(params)                   # oracle re-score
     if best < base_score:
         # the search is seeded from its own grid, not from the defaults —

@@ -189,16 +189,19 @@ class DeviceSegmentScorer:
 
         # union-of-files semantics: ground-truth files with no predictions
         # are scored as pure deletions — a constant Nfn contribution
+        # (tracked per class: the grid-ascent fast path recombines
+        # per-class counts on the host)
         known = set(audio_names)
-        extra_fn = 0
+        extra_fn_c = np.zeros(c, np.int64)
         for fname, events in ground_truth.items():
             if fname in known:
                 continue
             ends = [clip_duration] + [e[1] for e in events]
             ns = max(1, math.ceil(max(ends) / time_resolution))
-            extra_fn += int(scoring.segment_activity(
-                events, ns, time_resolution, label_index).sum())
-        self._extra_fn = extra_fn
+            extra_fn_c += scoring.segment_activity(
+                events, ns, time_resolution, label_index).sum(axis=0)
+        self._extra_fn_per_class = extra_fn_c
+        self._extra_fn = int(extra_fn_c.sum())
 
         # the big tensors are ARGUMENTS of the jitted program, not
         # closed-over values: captured device arrays embed as HLO
@@ -211,15 +214,18 @@ class DeviceSegmentScorer:
         self._fw_dev = jnp.asarray(np.swapaxes(framewise, 1, 2))
         pad_t = n_seg * seg_frames - t
 
-        def counts(fw, ref_seg, high, low, n_smooth, n_salt):
+        def est_segments(fw, high, low, n_smooth, n_salt):
             kept = _binarize_time_minor(fw, high[:, None], low[:, None],
                                         n_smooth, n_salt)
             a = jnp.pad(kept, ((0, 0), (0, 0), (0, pad_t)))
-            est = jax.lax.reduce_window(
+            return jax.lax.reduce_window(
                 a, False, jax.lax.bitwise_or,
                 window_dimensions=(1, 1, seg_frames),
                 window_strides=(1, 1, seg_frames),
                 padding="VALID")                       # [N, C, n_seg]
+
+        def counts(fw, ref_seg, high, low, n_smooth, n_salt):
+            est = est_segments(fw, high, low, n_smooth, n_salt)
             tp = jnp.sum(est & ref_seg, dtype=jnp.int32)
             fp = jnp.sum(est & ~ref_seg, dtype=jnp.int32)
             fn = jnp.sum(ref_seg & ~est, dtype=jnp.int32)
@@ -227,7 +233,15 @@ class DeviceSegmentScorer:
             # three tunnel transfers)
             return jnp.stack([tp, fp, fn])
 
+        def counts_per_class(fw, ref_seg, high, low, n_smooth, n_salt):
+            est = est_segments(fw, high, low, n_smooth, n_salt)
+            tp = jnp.sum(est & ref_seg, axis=(0, 2), dtype=jnp.int32)
+            fp = jnp.sum(est & ~ref_seg, axis=(0, 2), dtype=jnp.int32)
+            fn = jnp.sum(ref_seg & ~est, axis=(0, 2), dtype=jnp.int32)
+            return jnp.stack([tp, fp, fn])             # [3, C]
+
         self._counts = jax.jit(counts)
+        self._counts_pc = jax.jit(counts_per_class)
 
     def segment_counts(self, high, low, n_smooth: int, n_salt: int):
         """Exact integer (Ntp, Nfp, Nfn) for the given decode params —
@@ -242,6 +256,24 @@ class DeviceSegmentScorer:
             jnp.asarray(low), jnp.int32(n_smooth), jnp.int32(n_salt)))
         tp, fp, fn = (int(v) for v in out)
         return tp, fp, fn + self._extra_fn
+
+    def per_class_counts(self, high, low, n_smooth: int, n_salt: int):
+        """Exact integer ``[3, C]`` (tp, fp, fn) PER CLASS, fn including
+        each class's ground-truth-only-file constant. One device round
+        trip evaluates a candidate threshold for EVERY class at once —
+        class c's counts depend only on (high_c, low_c), which is what
+        makes the grid-ascent fast path (autoth) possible."""
+        import jax.numpy as jnp
+
+        c = self._classes
+        high = np.broadcast_to(np.asarray(high, np.float32), (c,))
+        low = np.broadcast_to(np.asarray(low, np.float32), (c,))
+        out = np.asarray(self._counts_pc(
+            self._fw_dev, self._ref_dev, jnp.asarray(high),
+            jnp.asarray(low), jnp.int32(n_smooth),
+            jnp.int32(n_salt))).astype(np.int64)
+        out[2] += self._extra_fn_per_class
+        return out
 
     def score_params(self, params: Dict) -> float:
         """Overall segment F1 (the ``optimize_sed_thresholds`` objective);

@@ -175,3 +175,54 @@ def test_binarize_dynamic_extreme_thresholds():
     assert not none.any()
     np.testing.assert_array_equal(
         none, sed.binarize(probs, 1.1, 0.3, 1, 1))
+
+
+class TestGridAscentFastPath:
+    """The per-class-counts grid ascent must reproduce the sequential
+    HyperParamsOptimizer trajectory EXACTLY (round-4 dispatch-batching:
+    ~9 device calls per sweep instead of up to 4C)."""
+
+    def _scorer(self, seed=0, n=10, t=160):
+        rng = np.random.RandomState(seed)
+        fw = np.repeat(rng.rand(n, t // 8, 17), 8, axis=1).astype(np.float32)
+        names = [f"c{i}.wav" for i in range(n)]
+        gt = {}
+        for i in range(n):
+            events = []
+            for _ in range(rng.randint(0, 4)):
+                on = rng.uniform(0, t / 100 - 0.3)
+                events.append((on, on + rng.uniform(0.2, 0.8),
+                               labels[rng.randint(17)]))
+            gt[names[i]] = events
+        gt["missing_extra.wav"] = [(0.1, 0.6, labels[0])]
+        return DeviceSegmentScorer(fw, names, gt, labels, 100,
+                                   clip_duration=t / 100)
+
+    def test_per_class_counts_sum_to_totals(self):
+        sc = self._scorer()
+        h = np.linspace(0.3, 0.7, 17)
+        low = np.linspace(0.1, 0.3, 17)
+        pc = sc.per_class_counts(h, low, 5, 5)
+        tp, fp, fn = sc.segment_counts(h, low, 5, 5)
+        assert pc.shape == (3, 17)
+        assert (int(pc[0].sum()), int(pc[1].sum()), int(pc[2].sum())) \
+            == (tp, fp, fn)
+
+    @pytest.mark.parametrize("seed", [0, 7])
+    def test_identical_to_sequential_optimizer(self, seed):
+        sc = self._scorer(seed=seed)
+        # sequential reference: exactly what optimize_sed_params does
+        # without counts_fn
+        best_seq, params_seq = autoth.optimize_sed_params(
+            sc.score_params, 17, smooth_grid=(1, 5), salt_grid=(1, 5),
+            max_iter=6)
+        best_fast, params_fast = autoth.optimize_sed_params(
+            sc.score_params, 17, smooth_grid=(1, 5), salt_grid=(1, 5),
+            max_iter=6, counts_fn=sc.per_class_counts)
+        assert best_fast == best_seq
+        assert params_fast["n_smooth"] == params_seq["n_smooth"]
+        assert params_fast["n_salt"] == params_seq["n_salt"]
+        np.testing.assert_array_equal(params_fast["sed_high_threshold"],
+                                      params_seq["sed_high_threshold"])
+        np.testing.assert_array_equal(params_fast["sed_low_threshold"],
+                                      params_seq["sed_low_threshold"])
