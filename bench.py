@@ -34,14 +34,25 @@ CPU_CACHE = os.environ.get(
 
 BATCH = 128
 STEPS = 30
+# timing granularity: STEPS are timed in CHUNKS of this many steps, each
+# chunk forced to completion by reading the loss scalar. Chunked (not
+# per-step) because a per-step sync read over this hosting tunnel costs
+# whole milliseconds of round-trip latency and would pollute the very
+# number it measures; 10 chunks of 3 give distribution stats (median /
+# min / std) at ~1% sync overhead. Round-4 verdict item 1a.
+CHUNK = 3
 MODEL_TYPE = "Cnn_9layers_Gru_FrameAtt"
+# contention sentinel: after the main timing, sleep then re-time one
+# chunk; a quiet chip reproduces the median, a chip shared with another
+# process (the round-4 BENCH regression's suspected cause) shows spread
+CONTENTION_SPREAD = 0.10
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu() -> float:
+def bench_tpu() -> dict:
     import jax
 
     from sound_event_detection_dcase2017_task4_tpu.runtime import enable_compile_cache
@@ -86,17 +97,51 @@ def bench_tpu() -> float:
 
     # Timing note: on this hosting setup block_until_ready() can return
     # before remote execution finishes — force completion by reading the
-    # final loss scalar; state donation chains every step, so the last
-    # loss transitively depends on all N steps.
-    t0 = time.perf_counter()
-    for _ in range(STEPS):
-        state, metrics = step(state, xb, yb)
-    loss = float(jax.device_get(metrics["loss"]))
-    dt = (time.perf_counter() - t0) / STEPS
-    cps = BATCH / dt
-    log(f"tpu: {cps:.0f} clips/s ({dt * 1e3:.1f} ms/step, batch {BATCH}, "
-        f"10 s clips, loss={loss:.4f})")
-    return cps
+    # loss scalar; state donation chains every step, so each chunk's
+    # final loss transitively depends on all of that chunk's steps.
+    def time_chunk(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            state, m = step(state, xb, yb)
+        _ = float(jax.device_get(m["loss"]))
+        return (time.perf_counter() - t0) / n
+
+    step_s = np.array([time_chunk(CHUNK) for _ in range(STEPS // CHUNK)])
+    med = float(np.median(step_s))
+    # headline clips/s from the MEDIAN step: robust to a transient
+    # competitor on the chip, unlike round 4's single 30-step mean
+    cps = BATCH / med
+    spread = float((step_s.max() - step_s.min()) / med)
+    # sentinel: quiet chip → the re-timed chunk lands on the median
+    time.sleep(2.0)
+    sentinel_s = time_chunk(5)
+    sentinel_dev = abs(sentinel_s - med) / med
+    contended = bool(spread > CONTENTION_SPREAD
+                     or sentinel_dev > CONTENTION_SPREAD)
+    stats = {
+        "clips_per_sec": cps,
+        "step_ms_median": med * 1e3,
+        "step_ms_min": float(step_s.min()) * 1e3,
+        "step_ms_mean": float(step_s.mean()) * 1e3,
+        "step_ms_std": float(step_s.std()) * 1e3,
+        "step_spread": round(spread, 4),
+        "sentinel_step_ms": sentinel_s * 1e3,
+        "sentinel_deviation": round(sentinel_dev, 4),
+        "contention_flag": contended,
+        "timed_steps": int(len(step_s) * CHUNK),
+        "chunk": CHUNK,
+    }
+    log(f"tpu: {cps:.0f} clips/s (median {med * 1e3:.1f} ms/step, "
+        f"min {stats['step_ms_min']:.1f}, std {stats['step_ms_std']:.2f}, "
+        f"spread {spread:.1%}, sentinel {sentinel_s * 1e3:.1f} ms "
+        f"[dev {sentinel_dev:.1%}], contended={contended}, batch {BATCH})")
+    if contended:
+        log("tpu: WARNING — step-time spread exceeds the contention "
+            "threshold; another process may share the chip. The median "
+            "is published but treat this capture as suspect.")
+    return stats
 
 
 def bench_cpu_reference() -> float:
@@ -246,10 +291,10 @@ def _probe_backend() -> tuple[bool, str]:
     return False, last
 
 
-def _bench_tpu_subprocess() -> tuple[float | None, str]:
+def _bench_tpu_subprocess() -> tuple[dict | None, str]:
     """Run bench_tpu() in a child (so a mid-bench tunnel death can't hang
     this process), with one generous-timeout attempt and one shorter
-    retry (compiles are cached by then). Returns (clips_per_sec, err)."""
+    retry (compiles are cached by then). Returns (stats_dict, err)."""
     import subprocess
     import tempfile
 
@@ -263,7 +308,7 @@ def _bench_tpu_subprocess() -> tuple[float | None, str]:
                 timeout=t, cwd=REPO)        # stdout/stderr inherited
             if proc.returncode == 0 and os.path.getsize(out) > 0:
                 with open(out) as f:
-                    return json.load(f)["clips_per_sec"], ""
+                    return json.load(f), ""
             err = f"tpu bench child rc={proc.returncode}"
         except subprocess.TimeoutExpired:
             err = f"tpu bench child timed out > {t}s"
@@ -291,25 +336,32 @@ def main():
                      f"probes: {detail}",
         }))
         return
-    tpu_cps, err = _bench_tpu_subprocess()
-    if tpu_cps is None:
+    stats, err = _bench_tpu_subprocess()
+    if stats is None:
         print(json.dumps({
             "metric": METRIC_NAME, "value": None, "unit": "clips/sec",
             "vs_baseline": None, "error": err,
         }))
         return
-    print(json.dumps({
+    tpu_cps = stats.pop("clips_per_sec")
+    rec = {
         "metric": METRIC_NAME,
         "value": round(tpu_cps, 1),
         "unit": "clips/sec",
         "vs_baseline": _round_ratio(tpu_cps / cpu_cps),
-    }))
+    }
+    # distribution + contention evidence (round-4 verdict item 1a): a
+    # contended capture is machine-visible instead of silently becoming
+    # the round's perf record
+    rec.update({k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in stats.items()})
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--tpu-child":
-        cps = bench_tpu()
+        stats = bench_tpu()
         with open(sys.argv[2], "w") as f:
-            json.dump({"clips_per_sec": cps}, f)
+            json.dump(stats, f)
     else:
         main()

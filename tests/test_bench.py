@@ -63,6 +63,34 @@ def test_emits_structured_json_line_when_backend_unavailable(tmp_path):
         assert rec["value"] > 0
 
 
+def test_headline_carries_distribution_and_contention_fields(monkeypatch,
+                                                             capsys):
+    """Round-4 verdict item 1a: the BENCH artifact must carry per-step
+    stats (median/min/std), the spread, and the contention flag so a
+    contended capture is machine-distinguishable from a regression."""
+    monkeypatch.setattr(bench, "bench_cpu_reference", lambda: 1.0)
+    monkeypatch.setattr(bench, "_probe_backend", lambda: (True, "tpu"))
+    fake_stats = {
+        "clips_per_sec": 1519.0, "step_ms_median": 84.3,
+        "step_ms_min": 83.9, "step_ms_mean": 84.5, "step_ms_std": 0.4,
+        "step_spread": 0.012, "sentinel_step_ms": 84.4,
+        "sentinel_deviation": 0.001, "contention_flag": False,
+        "timed_steps": 30, "chunk": 3,
+    }
+    monkeypatch.setattr(bench, "_bench_tpu_subprocess",
+                        lambda: (dict(fake_stats), ""))
+    bench.main()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 1519.0
+    assert rec["vs_baseline"] == 1500
+    assert rec["step_ms_median"] == 84.3
+    assert rec["step_ms_min"] == 83.9
+    assert rec["step_ms_std"] == 0.4
+    assert rec["step_spread"] == 0.01      # rounded for the artifact
+    assert rec["contention_flag"] is False
+    assert "clips_per_sec" not in rec      # folded into "value"
+
+
 def test_probe_rejects_cpu_fallback(monkeypatch, tmp_path):
     """A quiet CPU fallback must not publish a CPU number as the TPU
     headline: probe treats backend != 'tpu' as unavailable."""
