@@ -133,12 +133,16 @@ class DataGenerator:
             yield self._select(reader, idx)
 
 
-def prefetch_to_device(iterator, size: int = 2, sharding=None):
+def prefetch_to_device(iterator, size: int = 2, sharding=None, stage=None):
     """Stage host batches onto device ahead of consumption.
 
     A bounded background thread calls ``jax.device_put`` (optionally with a
     ``NamedSharding`` so batches land pre-sharded across the mesh) while the
     train step runs — the reference has no such overlap (SURVEY.md §3.2).
+
+    ``stage`` replaces the default whole-item ``device_put`` with a custom
+    producer-thread transform (e.g. pad-then-put only the features, keep
+    targets on host — the eval path's shape, ``train.forward_generator``).
     """
     import jax
 
@@ -148,7 +152,9 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
     def producer():
         try:
             for item in iterator:
-                if sharding is not None:
+                if stage is not None:
+                    item = stage(item)
+                elif sharding is not None:
                     item = jax.device_put(item, sharding)
                 else:
                     item = jax.device_put(item)

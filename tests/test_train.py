@@ -307,3 +307,41 @@ def test_prune_checkpoints(tiny_model, tmp_path):
         assert f"{it}_iterations.datastate.pkl" not in names
     # keep=0 is the reference behavior: no-op
     assert checkpoints.prune_checkpoints(str(tmp_path), keep=0) == []
+
+
+def test_forward_generator_prefetch_matches_serial(tiny_model, batch):
+    """Round-4 verdict item 4: the eval path stages batches from a
+    producer thread; outputs must be identical to the serial path, for
+    ragged finals too, and order must be preserved."""
+    cfg = Config()
+    state, _ = train.create_train_state(tiny_model, cfg, example_frames=96)
+    eval_step = train.make_eval_step(tiny_model)
+    x, y = np.asarray(batch[0]), np.asarray(batch[1])
+
+    def gen():
+        yield x[:3], y[:3]
+        yield x[3:6], y[3:6]
+        yield x[6:8], y[6:8]          # ragged final
+
+    out_pre = train.forward_generator(eval_step, state, gen(), prefetch=2)
+    out_ser = train.forward_generator(eval_step, state, gen(), prefetch=0)
+    np.testing.assert_array_equal(out_pre["clipwise_output"],
+                                  out_ser["clipwise_output"])
+    np.testing.assert_array_equal(out_pre["framewise_output"],
+                                  out_ser["framewise_output"])
+    np.testing.assert_array_equal(out_pre["target"], y)
+
+
+def test_forward_generator_propagates_producer_error(tiny_model):
+    """A reader crash in the staging thread must surface, not truncate."""
+    cfg = Config()
+    state, _ = train.create_train_state(tiny_model, cfg, example_frames=96)
+    eval_step = train.make_eval_step(tiny_model)
+
+    def gen():
+        yield (np.zeros((2, 96, 64), np.float32),
+               np.zeros((2, CLASSES), np.float32))
+        raise OSError("simulated HDF5 read failure")
+
+    with pytest.raises(RuntimeError, match="prefetch producer"):
+        train.forward_generator(eval_step, state, gen(), prefetch=2)
