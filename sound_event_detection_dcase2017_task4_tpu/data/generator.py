@@ -65,7 +65,8 @@ class DataGenerator:
             x = reader.feature[idx]
             if self.mean is not None:
                 x = scale(x, self.mean, self.std)
-        return x.astype(np.float32), reader.target[idx]
+        # copy=False: the waveform decode view already hands back float32
+        return x.astype(np.float32, copy=False), reader.target[idx]
 
     def generate_train(self) -> Iterator[tuple]:
         """Infinite shuffled batches (reference: ``generate_train``).

@@ -32,6 +32,40 @@ __all__ = [
     "read_split", "SplitReader", "subset_reader", "holdout_indices",
 ]
 
+# int16 waveform quantization (round-4 verdict item 5): DCASE source WAVs
+# are 16-bit PCM, so storing float32 doubles both disk (~65 GB for the real
+# 51k training split) and the lazy-path read bandwidth for zero information.
+# Quantized storage uses the standard PCM mapping f = i / 32768; floats that
+# came from 16-bit sources round-trip exactly, synthetic floats quantize
+# with |err| <= 1/65536 (-90 dBFS, far below the corpus noise floor).
+_WAVE_INT16_SCALE = 1.0 / 32768.0
+
+
+def _quantize_int16(w: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(w / _WAVE_INT16_SCALE),
+                   -32768, 32767).astype(np.int16)
+
+
+class _ScaledWaveView:
+    """Transparent decode of a quantized waveform dataset: ``view[idx]``
+    returns float32 ``stored * scale``, whatever the backing store (h5py
+    dataset in lazy mode, int16 ndarray in memory). Keeping the int16 in
+    RAM also halves the in-memory corpus footprint."""
+
+    def __init__(self, ds, scale: float):
+        self._ds = ds
+        self._scale = np.float32(scale)
+
+    def __getitem__(self, idx):
+        return np.asarray(self._ds[idx], dtype=np.float32) * self._scale
+
+    def __len__(self) -> int:
+        return len(self._ds)
+
+    @property
+    def shape(self):
+        return self._ds.shape
+
 
 def _encode_names(names: Sequence[str]) -> np.ndarray:
     return np.asarray([n.encode("utf-8") for n in names], dtype="S120")
@@ -46,12 +80,18 @@ def pack_waveforms_to_hdf5(
     store_waveform: bool = True,
     batch_size: int = 32,
     use_pallas: bool = False,
+    waveform_dtype: str = "int16",
 ) -> None:
     """Extract log-mel on device in batches and write one split HDF5.
 
     ``waveforms`` yields float32 arrays already resampled/padded to
     ``cfg.clip_samples`` (decoding/resampling is the caller's job — see
     ``features.py`` CLI). Layout matches the reference contract above.
+
+    ``waveform_dtype``: ``"int16"`` (default) stores the optional waveform
+    dataset quantized with a ``scale`` attribute — half the disk and read
+    bandwidth of ``"float32"``, lossless for 16-bit sources (see
+    ``_WAVE_INT16_SCALE``). Readers decode transparently either way.
     """
     from ..ops.stft import make_logmel_fn
 
@@ -69,8 +109,15 @@ def pack_waveforms_to_hdf5(
             dtype=np.float32)
         wave_ds = None
         if store_waveform:
+            if waveform_dtype not in ("int16", "float32"):
+                raise ValueError(
+                    f"waveform_dtype must be int16|float32, "
+                    f"got {waveform_dtype!r}")
             wave_ds = hf.create_dataset(
-                "waveform", shape=(n, cfg.clip_samples), dtype=np.float32)
+                "waveform", shape=(n, cfg.clip_samples),
+                dtype=np.dtype(waveform_dtype))
+            if waveform_dtype == "int16":
+                wave_ds.attrs["scale"] = _WAVE_INT16_SCALE
 
         batch, idx0 = [], 0
         it = iter(waveforms)
@@ -83,7 +130,9 @@ def pack_waveforms_to_hdf5(
                 fb = np.asarray(logmel_fn(wb))
                 feat[idx0 : idx0 + len(batch)] = fb
                 if wave_ds is not None:
-                    wave_ds[idx0 : idx0 + len(batch)] = wb
+                    wave_ds[idx0 : idx0 + len(batch)] = (
+                        _quantize_int16(wb) if waveform_dtype == "int16"
+                        else wb)
                 idx0 += len(batch)
                 batch = []
 
@@ -148,7 +197,7 @@ class SplitReader:
     ~13 GB log-mel corpus and for the tiny test/eval splits).
     ``in_memory=False`` keeps the h5py datasets open and reads batch slices
     on demand — required for waveform-source training on the full 51k-clip
-    corpus (~65 GB of f32 waveforms); the prefetch thread
+    corpus (~33 GB of int16 waveforms); the prefetch thread
     (``generator.prefetch_to_device``) hides the read latency behind the
     device step. Batch index arrays must be sorted ascending (h5py fancy
     indexing contract); ``DataGenerator`` guarantees that.
@@ -161,14 +210,20 @@ class SplitReader:
                             for n in self._hf["audio_name"][:]]
         self.target = self._hf["target"][:].astype(np.float32)
         has_wave = load_waveform and "waveform" in self._hf
+        wave_scale = (self._hf["waveform"].attrs.get("scale")
+                      if has_wave else None)
         if in_memory:
             self.feature = self._hf["feature"][:]
+            # quantized waveforms stay int16 in RAM (half the footprint);
+            # _ScaledWaveView decodes to float32 per batch slice
             self.waveform = self._hf["waveform"][:] if has_wave else None
             self._hf.close()
             self._hf = None
         else:
             self.feature = self._hf["feature"]          # lazy h5py dataset
             self.waveform = self._hf["waveform"] if has_wave else None
+        if self.waveform is not None and wave_scale is not None:
+            self.waveform = _ScaledWaveView(self.waveform, float(wave_scale))
 
     def __len__(self) -> int:
         return len(self.audio_names)

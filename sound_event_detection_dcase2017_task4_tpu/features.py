@@ -131,7 +131,7 @@ def calculate_feature_for_all_audio_files(args) -> None:
     pack_waveforms_to_hdf5(
         waveforms(), names, targets, out_path, cfg,
         store_waveform=not args.no_waveform, batch_size=args.batch_size,
-        use_pallas=args.use_pallas)
+        use_pallas=args.use_pallas, waveform_dtype=args.waveform_dtype)
     logger.info("packed %s in %.1f s → %s", data_type, time.time() - t0,
                 out_path)
 
@@ -186,7 +186,8 @@ def pack_synthetic(args) -> None:
         pack_waveforms_to_hdf5(
             (c.waveform for c in clips), [c.audio_name for c in clips],
             np.stack([c.weak_target for c in clips]), out_path, cfg,
-            store_waveform=True, use_pallas=args.use_pallas)
+            store_waveform=True, use_pallas=args.use_pallas,
+            waveform_dtype=args.waveform_dtype)
         print(f"{data_type}: {n} clips → {out_path}")
 
     scalar_path = os.path.join(args.workspace, "scalars", "training.h5")
@@ -209,6 +210,11 @@ def main(argv=None) -> None:
     pa.add_argument("--clip_seconds", type=float, default=None)
     pa.add_argument("--use_pallas", action="store_true")
     pa.add_argument("--no_waveform", action="store_true")
+    pa.add_argument("--waveform_dtype", default="int16",
+                    choices=["int16", "float32"],
+                    help="storage dtype of the optional waveform dataset; "
+                         "int16 (+scale attr) halves disk and read "
+                         "bandwidth, lossless for 16-bit sources")
     pa.add_argument("--no_native", action="store_true",
                     help="force the pure-python audio loader")
     pa.set_defaults(func=calculate_feature_for_all_audio_files)
@@ -234,6 +240,8 @@ def main(argv=None) -> None:
     py.add_argument("--use_pallas", action="store_true")
     py.add_argument("--metadata_only", action="store_true",
                     help="skip writing WAV files (features only)")
+    py.add_argument("--waveform_dtype", default="int16",
+                    choices=["int16", "float32"])
     py.set_defaults(func=pack_synthetic)
 
     args = p.parse_args(argv)
