@@ -397,3 +397,76 @@ def test_from_workspace_best_equals_latest_autoloads_tuned(tmp_path):
         _m.MODEL_REGISTRY.pop("TinyBL", None)
     assert pred.sed_params["n_smooth"] == 7      # tuned params applied
     assert pred.sed_params["n_salt"] == 4
+
+
+def test_streaming_timeline_compacts_and_stays_bounded(predictor):
+    """Round-4 verdict item 7: the stitched probability timeline must be
+    O(window + active stretch), not O(stream). With decode thresholds
+    above the untrained model's ~0.5 prob level every settled frame is
+    sub-low in all classes, so compaction can run at every drain — the
+    accumulator must stay near one window long over a 30-window stream,
+    and the emitted-key set must be pruned with the horizon."""
+    saved = dict(predictor.sed_params)
+    predictor.sed_params.update(
+        sed_high_threshold=0.97, sed_low_threshold=0.93,
+        n_smooth=3, n_salt=2)
+    try:
+        det = serving.StreamingDetector(predictor, hop_seconds=0.25)
+        cfg = predictor.cfg
+        frames_win = cfg.frames_num
+        rng = np.random.RandomState(1)
+        bound = 0
+        for _ in range(60):                    # ~30 windows of audio
+            det.feed((rng.randn(cfg.clip_samples // 2) * 0.05
+                      ).astype(np.float32))
+            bound = max(bound, det._acc.shape[0])
+        # one window of frames + the unsettled tail (window - hop) + the
+        # n_smooth+1 separator slack — NOT proportional to the 30 windows
+        hop_frames = det.hop // cfg.hop_size
+        assert bound <= 2 * frames_win + hop_frames + 8, bound
+        assert det._f0 > 20 * frames_win       # the prefix really dropped
+        assert len(det._emitted) < 50
+        det.flush()
+    finally:
+        predictor.sed_params.clear()
+        predictor.sed_params.update(saved)
+
+
+def test_streaming_compaction_preserves_equality_on_long_stream(predictor):
+    """Equality with predict_long must survive aggressive compaction:
+    a ~8-window stream with loud bursts separated by quiet stretches
+    (so separator blocks exist between events)."""
+    cfg = predictor.cfg
+    n = int(8.3 * cfg.clip_samples)
+    rng = np.random.RandomState(2)
+    x = (rng.randn(n) * 0.05).astype(np.float32)
+    t = np.arange(n) / cfg.sample_rate
+    burst = (np.sin(2 * np.pi * 0.11 * t) > 0.75)
+    x += 3.0 * np.sin(2 * np.pi * 700 * t) * burst
+    # band chosen against the untrained fixture model's output range: its
+    # per-frame max class prob sits at ~0.89-0.99, so low=0.93 yields both
+    # genuine events (seeds >= 0.97 exist) and all-class sub-low separator
+    # blocks between them (median max ~0.93) — compaction must fire
+    saved = dict(predictor.sed_params)
+    predictor.sed_params.update(
+        sed_high_threshold=0.97, sed_low_threshold=0.93,
+        n_smooth=3, n_salt=2)
+    try:
+        offline = predictor.predict_long(x, hop_seconds=0.25)["events"]
+        det = serving.StreamingDetector(predictor, hop_seconds=0.25)
+        streamed = []
+        pos, sizes, i = 0, [5000, 12000, 3333, 8192], 0
+        compacted = False
+        while pos < n:
+            streamed += det.feed(x[pos : pos + sizes[i % 4]])
+            pos += sizes[i % 4]
+            i += 1
+            compacted = compacted or det._f0 > 0
+        streamed += det.flush()
+    finally:
+        predictor.sed_params.clear()
+        predictor.sed_params.update(saved)
+    assert compacted                           # the fast path was exercised
+    assert len(offline) > 0                    # ...on a stream WITH events
+    assert sorted(streamed) == sorted(offline)
+    assert len(streamed) == len(set(streamed))
