@@ -141,6 +141,11 @@ def _full_eval(run_ws, model, seed, batch_size) -> None:
 
 def do_matrix(args) -> None:
     ws = args.workspace
+    models = args.models or MODELS
+    for m in models:
+        if m not in MODELS:
+            raise SystemExit(f"unknown model {m!r}; matrix families: "
+                             f"{MODELS}")
     if not os.path.isfile(os.path.join(ws, "features", "training.h5")):
         _run([sys.executable, "-m",
               "sound_event_detection_dcase2017_task4_tpu.features",
@@ -149,7 +154,7 @@ def do_matrix(args) -> None:
               "--num_eval=488", "--metadata_only"])
     for seed in args.seeds:
         seed_ws = _sub_workspace(ws, f"seed_{seed}")
-        for model in MODELS:
+        for model in models:
             if _has_completed_run(seed_ws, model, args.batch_size,
                                   args.iterations):
                 print(f"skip {model} seed={seed}: already complete",
@@ -164,7 +169,7 @@ def do_matrix(args) -> None:
             _full_eval(seed_ws, model, seed, args.batch_size)
     # broken controls: same flagship config with one planted bug each —
     # a benchmark with discriminative power must move on at least one
-    for control in CONTROLS:
+    for control in ([] if args.skip_controls else CONTROLS):
         ctrl_ws = os.path.join(ws, f"control_{control}")
         if _has_completed_run(ctrl_ws, CONTROL_MODEL, args.batch_size,
                               args.iterations):
@@ -444,6 +449,14 @@ def main(argv=None) -> None:
     pm.add_argument("--iterations", type=int, default=5000)
     pm.add_argument("--batch_size", type=int, default=64)
     pm.add_argument("--seeds", type=int, nargs="+", default=[1234, 777])
+    pm.add_argument("--models", nargs="+", default=None,
+                    help="restrict to a subset of the matrix families "
+                         "(extended-budget runs re-train only the "
+                         "families whose ordering is in question)")
+    pm.add_argument("--skip_controls", action="store_true",
+                    help="families only — the broken controls' power "
+                         "evidence is budget-specific and usually "
+                         "already recorded at the base budget")
     pm.set_defaults(func=do_matrix)
 
     pc = sub.add_parser("train-control")
