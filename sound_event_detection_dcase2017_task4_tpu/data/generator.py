@@ -68,13 +68,20 @@ class DataGenerator:
         # copy=False: the waveform decode view already hands back float32
         return x.astype(np.float32, copy=False), reader.target[idx]
 
-    def generate_train(self) -> Iterator[tuple]:
+    def generate_train(self, yield_indices: bool = False) -> Iterator[tuple]:
         """Infinite shuffled batches (reference: ``generate_train``).
 
         The shuffle order / pointer / RNG stream live on the instance so a
         resumed run continues the data stream instead of restarting it —
         checkpoint them via :meth:`state_dict` (SURVEY.md §5 failure-recovery
         row; the reference restarts its shuffle stream on resume).
+
+        ``yield_indices=True`` yields ``(idx, target)`` instead of the
+        selected feature batch — the device-resident-corpus mode (the step
+        gathers rows from a bank staged in HBM; see
+        ``train.make_train_step(bank=...)``). The RNG/shuffle stream is
+        IDENTICAL to the feature-yielding mode, so the two transports train
+        on byte-identical batch sequences and share resume state.
         """
         n = len(self.train)
         if self._train_order is None or len(self._train_order) != n:
@@ -90,7 +97,10 @@ class DataGenerator:
                     self._train_order[self._train_ptr
                                       : self._train_ptr + self.batch_size])
                 self._train_ptr += self.batch_size
-            yield self._select(self.train, idx)
+            if yield_indices:
+                yield idx.astype(np.int32), self.train.target[idx]
+            else:
+                yield self._select(self.train, idx)
 
     def state_dict(self) -> dict:
         """Serializable train-stream position (RNG state + order + pointer).
@@ -117,10 +127,13 @@ class DataGenerator:
             self._train_ptr = int(d["ptr"])
 
     def generate_validate(self, data_type: str = "validate",
-                          max_iteration: Optional[int] = None
-                          ) -> Iterator[tuple]:
+                          max_iteration: Optional[int] = None,
+                          yield_indices: bool = False) -> Iterator[tuple]:
         """Finite in-order batches over a split (reference:
-        ``generate_validate(data_type, max_iteration)``)."""
+        ``generate_validate(data_type, max_iteration)``).
+
+        ``yield_indices=True``: the device-resident-corpus transport —
+        ``(idx, target)`` pairs for a bank-gather eval step."""
         reader = self.train if data_type == "train" else self.validate
         if reader is None:
             raise ValueError(f"no reader for data_type={data_type!r}")
@@ -131,7 +144,10 @@ class DataGenerator:
                 return
             idx = np.arange(start, min(start + self.batch_size, n))
             it += 1
-            yield self._select(reader, idx)
+            if yield_indices:
+                yield idx.astype(np.int32), reader.target[idx]
+            else:
+                yield self._select(reader, idx)
 
 
 def prefetch_to_device(iterator, size: int = 2, sharding=None, stage=None):

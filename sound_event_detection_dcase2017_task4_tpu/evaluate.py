@@ -87,10 +87,11 @@ class Evaluator:
         # (ragged batches padded/trimmed in forward_generator)
         self.sharding = sharding
 
-    def forward(self, state, generate_func) -> Dict[str, np.ndarray]:
+    def forward(self, state, generate_func,
+                eval_step=None) -> Dict[str, np.ndarray]:
         from .train import forward_generator
-        return forward_generator(self.eval_step, state, generate_func,
-                                 sharding=self.sharding)
+        return forward_generator(eval_step or self.eval_step, state,
+                                 generate_func, sharding=self.sharding)
 
     def evaluate(
         self,
@@ -100,9 +101,15 @@ class Evaluator:
         ground_truth_events: Optional[Dict[str, list]] = None,
         at_thresholds=0.3,
         sed_params: Optional[dict] = None,
+        eval_step=None,
     ) -> Dict:
-        """Full evaluation; returns ``{"at": ..., "sed": ...?}``."""
-        out = self.forward(state, generate_func)
+        """Full evaluation; returns ``{"at": ..., "sed": ...?}``.
+
+        ``eval_step`` overrides the constructor's step for this call — the
+        training loop's device-resident-corpus mode passes a per-split
+        bank-gather step here (train and test splits stage separate banks).
+        """
+        out = self.forward(state, generate_func, eval_step=eval_step)
         result = {"at": tagging_metrics(out["clipwise_output"], out["target"],
                                         at_thresholds, self.labels)}
         if ground_truth_events is not None and audio_names is not None:

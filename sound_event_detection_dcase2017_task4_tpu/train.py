@@ -209,6 +209,7 @@ def make_train_step(
     use_spec_augment: bool = False,
     donate_state: bool = True,
     check_numerics: bool = False,
+    bank: Optional[jax.Array] = None,
 ):
     """Build the jitted train step ``(state, batch_x, batch_y) → (state, metrics)``.
 
@@ -218,6 +219,16 @@ def make_train_step(
     non-finite count over loss+grads to the metrics (the SURVEY.md §5
     sanitizer role — JAX purity means there is no racing to detect; NaN/Inf
     surveillance is the useful runtime check), costing one reduction.
+
+    ``bank`` switches the step to device-resident-corpus mode: ``bank`` is
+    the whole split's example array staged in HBM ``[N, ...]`` and the step
+    signature becomes ``(state, batch_idx, batch_y)`` — the example rows are
+    gathered ON DEVICE (``jnp.take``), so the per-step host→device transfer
+    shrinks from the full feature batch to an int32 index vector. Classic
+    TPU shape: HBM is large (16 GB/chip) and reused every epoch, while the
+    host link pays the corpus once instead of once per epoch. The bank is
+    passed as a jit argument (not a closure) so XLA never folds the staged
+    corpus into the executable as a constant.
     """
     loss_fn = get_loss_func(loss_type)
     scalar = (None if scalar is None else
@@ -261,8 +272,18 @@ def make_train_step(
         return new_state, metrics
 
     donate = (0,) if donate_state else ()
-    return jax.jit(step_fn, donate_argnums=donate,
-                   compiler_options=_tpu_compiler_options())
+    if bank is None:
+        return jax.jit(step_fn, donate_argnums=donate,
+                       compiler_options=_tpu_compiler_options())
+
+    def bank_step_fn(state: TrainState, bank_arr, batch_idx, batch_y):
+        return step_fn(state, jnp.take(bank_arr, batch_idx, axis=0),
+                       batch_y)
+
+    jitted = jax.jit(bank_step_fn, donate_argnums=donate,
+                     compiler_options=_tpu_compiler_options())
+    return lambda state, batch_idx, batch_y: jitted(
+        state, bank, batch_idx, batch_y)
 
 
 def _tpu_compiler_options():
@@ -275,9 +296,17 @@ def _tpu_compiler_options():
 
 
 def make_eval_step(model, frontend: Optional[Callable] = None,
-                   scalar: Optional[tuple] = None):
+                   scalar: Optional[tuple] = None,
+                   bank: Optional[jax.Array] = None):
     """Jitted inference step ``(state, batch_x) → output_dict`` (eval mode,
-    running BN stats — reference ``pytorch_utils.forward`` semantics)."""
+    running BN stats — reference ``pytorch_utils.forward`` semantics).
+
+    With ``bank`` (a device-staged split ``[N, ...]``), the returned step is
+    ``(state, batch_idx) → output_dict`` — rows gathered on device, same
+    device-resident-corpus mode as :func:`make_train_step`. The underlying
+    jitted program takes the bank as an argument, so steps over differently
+    sized banks (train vs test split) share nothing but the compile cache.
+    """
     scalar = (None if scalar is None else
               (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
 
@@ -287,7 +316,14 @@ def make_eval_step(model, frontend: Optional[Callable] = None,
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)
 
-    return jax.jit(eval_fn)
+    if bank is None:
+        return jax.jit(eval_fn)
+
+    def bank_eval_fn(state: TrainState, bank_arr, batch_idx):
+        return eval_fn(state, jnp.take(bank_arr, batch_idx, axis=0))
+
+    jitted = jax.jit(bank_eval_fn)
+    return lambda state, batch_idx: jitted(state, bank, batch_idx)
 
 
 def forward_generator(eval_step, state, generate_func,
