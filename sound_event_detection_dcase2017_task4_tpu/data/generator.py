@@ -49,6 +49,13 @@ class DataGenerator:
         self.random_state = np.random.RandomState(seed)
         self.mean, self.std = scalar if scalar is not None else (None, None)
         self.feature_source = feature_source
+        # waveform transport: when True and the split stores quantized
+        # int16 (``_ScaledWaveView``), batches are yielded UNDECODED — the
+        # train/eval step decodes on device (``wave_scale`` in
+        # train.make_train_step), halving host→device bytes and skipping
+        # the host-side f32 materialization. Opt-in (main._build sets it)
+        # so external consumers of the generator keep float32 batches.
+        self.raw_int16 = False
         # resumable train-stream position (see state_dict/load_state_dict);
         # the lock keeps snapshots consistent while the prefetch producer
         # thread advances the stream.
@@ -60,6 +67,9 @@ class DataGenerator:
         if self.feature_source == "waveform":
             if reader.waveform is None:
                 raise ValueError("split was packed without waveforms")
+            if self.raw_int16 and hasattr(reader.waveform, "raw"):
+                return (np.asarray(reader.waveform.raw[idx]),
+                        reader.target[idx])
             x = reader.waveform[idx]
         else:
             x = reader.feature[idx]

@@ -66,6 +66,20 @@ class _ScaledWaveView:
     def shape(self):
         return self._ds.shape
 
+    @property
+    def scale(self) -> float:
+        """The PCM decode factor (``f = stored * scale``)."""
+        return float(self._scale)
+
+    @property
+    def raw(self):
+        """The undecoded int16 backing store — for consumers that ship the
+        quantized samples to the device and decode there (half the
+        host→device bytes, no host-side f32 materialization; the device
+        computes the same ``int→f32 × scale``, so results are bit-equal
+        to host decode)."""
+        return self._ds
+
 
 def _encode_names(names: Sequence[str]) -> np.ndarray:
     return np.asarray([n.encode("utf-8") for n in names], dtype="S120")

@@ -145,8 +145,15 @@ def _build(args, for_train: bool):
                 if feature_source == "waveform" else None)
     # waveform path: normalization happens on device after the frontend
     dev_scalar = scalar if feature_source == "waveform" else None
+    wave_scale = None
     if feature_source == "waveform":
         gen.mean = gen.std = None        # don't normalize on host
+        # quantized int16 storage: ship the raw samples and decode on
+        # device — half the host→device bytes, no host f32 materialization
+        # (bit-equal to host decode; data/hdf5._ScaledWaveView.raw)
+        if hasattr(train_reader.waveform, "scale"):
+            wave_scale = train_reader.waveform.scale
+            gen.raw_int16 = True
 
     lr = (args.learning_rate if getattr(args, "learning_rate", None)
           is not None else 1e-3)
@@ -214,10 +221,11 @@ def _build(args, for_train: bool):
         scalar=dev_scalar, mixup_alpha=mixup_alpha,
         use_spec_augment="specaugment" in args.augmentation,
         check_numerics=getattr(args, "check_numerics", False),
-        bank=banks.get("train"))
+        bank=banks.get("train"), wave_scale=wave_scale)
         if for_train else None)
     eval_step = train_lib.make_eval_step(model, frontend=frontend,
-                                         scalar=dev_scalar)
+                                         scalar=dev_scalar,
+                                         wave_scale=wave_scale)
     return dict(gen=gen, model=model, state=state, tx=tx, step=step,
                 eval_step=eval_step, train_reader=train_reader,
                 test_reader=test_reader, opt_config=opt_config,

@@ -190,7 +190,13 @@ def _fast_dropout_key(rng: jax.Array) -> jax.Array:
     return jax.random.wrap_key_data(seed, impl="rbg")
 
 
-def _frontend_and_norm(batch_x, frontend, scalar):
+def _frontend_and_norm(batch_x, frontend, scalar, wave_scale=None):
+    if wave_scale is not None and jnp.issubdtype(batch_x.dtype,
+                                                jnp.integer):
+        # quantized int16 waveforms shipped raw: decode on device with the
+        # same ``int→f32 × scale`` the host view computes — bit-equal
+        # output, half the host→device bytes (data/hdf5._ScaledWaveView)
+        batch_x = batch_x.astype(jnp.float32) * jnp.float32(wave_scale)
     if frontend is not None:
         batch_x = frontend(batch_x)                 # waveform → logmel
     if scalar is not None:
@@ -210,6 +216,7 @@ def make_train_step(
     donate_state: bool = True,
     check_numerics: bool = False,
     bank: Optional[jax.Array] = None,
+    wave_scale: Optional[float] = None,
 ):
     """Build the jitted train step ``(state, batch_x, batch_y) → (state, metrics)``.
 
@@ -236,7 +243,7 @@ def make_train_step(
 
     def step_fn(state: TrainState, batch_x, batch_y):
         rng, mix_rng, spec_rng, drop_rng = jax.random.split(state.rng, 4)
-        x = _frontend_and_norm(batch_x, frontend, scalar)
+        x = _frontend_and_norm(batch_x, frontend, scalar, wave_scale)
         y = batch_y
         if use_spec_augment:
             x = spec_augment(spec_rng, x)
@@ -297,7 +304,8 @@ def _tpu_compiler_options():
 
 def make_eval_step(model, frontend: Optional[Callable] = None,
                    scalar: Optional[tuple] = None,
-                   bank: Optional[jax.Array] = None):
+                   bank: Optional[jax.Array] = None,
+                   wave_scale: Optional[float] = None):
     """Jitted inference step ``(state, batch_x) → output_dict`` (eval mode,
     running BN stats — reference ``pytorch_utils.forward`` semantics).
 
@@ -311,7 +319,7 @@ def make_eval_step(model, frontend: Optional[Callable] = None,
               (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
 
     def eval_fn(state: TrainState, batch_x):
-        x = _frontend_and_norm(batch_x, frontend, scalar)
+        x = _frontend_and_norm(batch_x, frontend, scalar, wave_scale)
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)

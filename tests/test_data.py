@@ -102,6 +102,55 @@ def test_generator_waveform_source(split_h5):
     assert x.shape == (2, cfg.clip_samples)
 
 
+def test_generator_raw_int16_transport(split_h5):
+    """raw_int16 mode yields the undecoded samples; a device-side
+    ``int→f32 × scale`` reproduces the host decode bit-exactly (the
+    train step's ``wave_scale`` contract, round 5)."""
+    path, cfg, _ = split_h5
+    r = read_split(path, load_waveform=True)
+    assert hasattr(r.waveform, "scale")          # int16 is the default
+    gen_f = DataGenerator(r, batch_size=2, feature_source="waveform",
+                          seed=11)
+    gen_i = DataGenerator(r, batch_size=2, feature_source="waveform",
+                          seed=11)
+    gen_i.raw_int16 = True
+    xf, yf = next(gen_f.generate_train())
+    xi, yi = next(gen_i.generate_train())
+    assert xi.dtype == np.int16
+    np.testing.assert_array_equal(yf, yi)
+    np.testing.assert_array_equal(
+        xf, xi.astype(np.float32) * np.float32(r.waveform.scale))
+
+
+def test_train_step_wave_scale_decode(split_h5):
+    """A step fed raw int16 + wave_scale computes the same loss as one fed
+    the host-decoded float32 batch."""
+    import jax.numpy as jnp
+
+    from sound_event_detection_dcase2017_task4_tpu import train
+    from sound_event_detection_dcase2017_task4_tpu.models import SedCnn
+    from sound_event_detection_dcase2017_task4_tpu.ops.stft import (
+        make_logmel_fn)
+
+    path, cfg, _ = split_h5
+    r = read_split(path, load_waveform=True)
+    model = SedCnn(classes_num=17, channels=(8,), head="avg")
+    frontend = make_logmel_fn(cfg, use_pallas=False)
+    state, tx = train.create_train_state(model, cfg,
+                                         example_frames=cfg.frames_num)
+    idx = np.asarray([0, 1, 2, 3])
+    y = jnp.asarray(r.target[idx])
+    step_f = train.make_train_step(model, tx, frontend=frontend,
+                                   donate_state=False)
+    step_i = train.make_train_step(model, tx, frontend=frontend,
+                                   donate_state=False,
+                                   wave_scale=r.waveform.scale)
+    _, mf = step_f(state, jnp.asarray(r.waveform[idx]), y)
+    _, mi = step_i(state, jnp.asarray(r.waveform.raw[idx]), y)
+    np.testing.assert_allclose(float(mf["loss"]), float(mi["loss"]),
+                               rtol=1e-6)
+
+
 def test_pad_or_truncate():
     x = np.ones(5, np.float32)
     assert pad_or_truncate(x, 3).shape == (3,)
