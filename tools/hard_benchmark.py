@@ -113,6 +113,15 @@ def _latest_ckpt_iter(run_ws, model, batch_size) -> int | None:
     return max(its) if its else None
 
 
+def _resume_args(run_ws, model, batch_size) -> tuple:
+    """Extended-budget support: when a run already has checkpoints below
+    the requested budget, continue from the latest instead of retraining
+    from scratch (a 3k→10k extension costs 7k iterations, not 10k, and
+    keeps the metric history one continuous curve)."""
+    prev = _latest_ckpt_iter(run_ws, model, batch_size)
+    return (f"--resume_iteration={prev}",) if prev else ()
+
+
 def _full_eval(run_ws, model, seed, batch_size) -> None:
     """Score the run's FINAL checkpoint on the full test split through the
     framework's own inference + calculate_metrics path (round-4 verdict
@@ -163,7 +172,9 @@ def do_matrix(args) -> None:
                 _run([sys.executable, "-m",
                       "sound_event_detection_dcase2017_task4_tpu.main",
                       *_train_args(seed_ws, model, seed, args.iterations,
-                                   args.batch_size)])
+                                   args.batch_size,
+                                   extra=_resume_args(seed_ws, model,
+                                                      args.batch_size))])
             # full-split scoring is also resume-gated, so cells trained in
             # an earlier (interrupted) round get their final score here
             _full_eval(seed_ws, model, seed, args.batch_size)
@@ -265,7 +276,9 @@ def do_train_control(args) -> None:
     # so the control's statistics don't overwrite the healthy run
     ws = _sub_workspace(args.workspace, f"control_{args.control}")
     main_cli.main(_train_args(ws, CONTROL_MODEL, args.seed,
-                              args.iterations, args.batch_size))
+                              args.iterations, args.batch_size,
+                              extra=_resume_args(ws, CONTROL_MODEL,
+                                                 args.batch_size)))
 
 
 def _last_test_record(stats_path):
