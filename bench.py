@@ -41,6 +41,10 @@ STEPS = 30
 # number it measures; 10 chunks of 3 give distribution stats (median /
 # min / std) at ~1% sync overhead. Round-4 verdict item 1a.
 CHUNK = 3
+# second chunk size for the sync-cost elimination (see bench_tpu): long
+# enough that the per-chunk sync amortizes to <1 ms/step, short enough
+# to stay responsive
+LONG_CHUNK = 15
 MODEL_TYPE = "Cnn_9layers_Gru_FrameAtt"
 # contention sentinel: after the main timing, sleep then re-time one
 # chunk; a quiet chip reproduces the median, a chip shared with another
@@ -110,18 +114,31 @@ def bench_tpu() -> dict:
 
     step_s = np.array([time_chunk(CHUNK) for _ in range(STEPS // CHUNK)])
     med = float(np.median(step_s))
-    # headline clips/s from the MEDIAN step: robust to a transient
-    # competitor on the chip, unlike round 4's single 30-step mean
-    cps = BATCH / med
     spread = float((step_s.max() - step_s.min()) / med)
-    # sentinel: quiet chip → the re-timed chunk lands on the median
+    # Each chunk pays one host↔device sync to force completion, and on
+    # this hosting tunnel that round trip costs whole milliseconds —
+    # folded into a 3-step chunk it inflated the round-4/5 per-step
+    # median by ~10% (median 93-94 ms vs long-chunk 85 ms on a quiet
+    # chip). Eliminate the constant exactly with a second, longer chunk
+    # size: per-step time s solves {C·mC = C·s + c, L·mL = L·s + c}.
+    long_s = float(np.median([time_chunk(LONG_CHUNK) for _ in range(3)]))
+    per_step = ((LONG_CHUNK * long_s - CHUNK * med)
+                / (LONG_CHUNK - CHUNK))
+    sync_ms = (med - per_step) * CHUNK * 1e3       # per-chunk sync cost
+    # headline clips/s from the sync-corrected per-step time; median over
+    # chunks keeps it robust to a transient competitor on the chip
+    # (round 4's single 30-step mean had neither property)
+    cps = BATCH / per_step
+    # sentinel: quiet chip → a re-timed short chunk lands on the median
     time.sleep(2.0)
-    sentinel_s = time_chunk(5)
+    sentinel_s = time_chunk(CHUNK)
     sentinel_dev = abs(sentinel_s - med) / med
     contended = bool(spread > CONTENTION_SPREAD
                      or sentinel_dev > CONTENTION_SPREAD)
     stats = {
         "clips_per_sec": cps,
+        "step_ms": per_step * 1e3,
+        "chunk_sync_ms": sync_ms,
         "step_ms_median": med * 1e3,
         "step_ms_min": float(step_s.min()) * 1e3,
         "step_ms_mean": float(step_s.mean()) * 1e3,
@@ -130,13 +147,15 @@ def bench_tpu() -> dict:
         "sentinel_step_ms": sentinel_s * 1e3,
         "sentinel_deviation": round(sentinel_dev, 4),
         "contention_flag": contended,
-        "timed_steps": int(len(step_s) * CHUNK),
+        "timed_steps": int(len(step_s) * CHUNK + 3 * LONG_CHUNK),
         "chunk": CHUNK,
     }
-    log(f"tpu: {cps:.0f} clips/s (median {med * 1e3:.1f} ms/step, "
-        f"min {stats['step_ms_min']:.1f}, std {stats['step_ms_std']:.2f}, "
-        f"spread {spread:.1%}, sentinel {sentinel_s * 1e3:.1f} ms "
-        f"[dev {sentinel_dev:.1%}], contended={contended}, batch {BATCH})")
+    log(f"tpu: {cps:.0f} clips/s ({per_step * 1e3:.1f} ms/step after "
+        f"removing the ~{sync_ms:.0f} ms/chunk tunnel sync; chunk-{CHUNK} "
+        f"median {med * 1e3:.1f} ms, min {stats['step_ms_min']:.1f}, "
+        f"std {stats['step_ms_std']:.2f}, spread {spread:.1%}, sentinel "
+        f"{sentinel_s * 1e3:.1f} ms [dev {sentinel_dev:.1%}], "
+        f"contended={contended}, batch {BATCH})")
     if contended:
         log("tpu: WARNING — step-time spread exceeds the contention "
             "threshold; another process may share the chip. The median "
