@@ -207,7 +207,11 @@ def test_check_numerics_aborts_on_poisoned_batch(workspace, monkeypatch):
 
     orig = DataGenerator.generate_train
 
-    def poisoned(self):
+    def poisoned(self, yield_indices=False):
+        # poisons the HOST batch stream, so the run pins the host-fed
+        # transport (--device_cache=off); the bank transport never sees
+        # these arrays (its NaN surface is the staged bank itself)
+        assert not yield_indices
         for x, y in orig(self):
             x = np.array(x)
             x[0] = np.nan
@@ -217,6 +221,7 @@ def test_check_numerics_aborts_on_poisoned_batch(workspace, monkeypatch):
     with pytest.raises(FloatingPointError, match="non-finite"):
         main.main(["train", f"--workspace={workspace}", *COMMON,
                    "--augmentation=mixup",      # separate run-config dir
+                   "--device_cache=off",
                    "--check_numerics", "--stop_iteration=3",
                    "--eval_interval=100"])
 
