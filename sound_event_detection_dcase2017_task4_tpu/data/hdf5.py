@@ -291,8 +291,19 @@ def subset_reader(reader: SplitReader, indices) -> SplitReader:
     sub.audio_names = [reader.audio_names[i] for i in indices]
     sub.target = np.asarray(reader.target)[indices]
     sub.feature = _IndexedView(reader.feature, indices)
-    sub.waveform = (None if reader.waveform is None
-                    else _IndexedView(reader.waveform, indices))
+    wav = reader.waveform
+    if isinstance(wav, _ScaledWaveView):
+        # Compose scale-OUTSIDE-index so the subset keeps the quantized
+        # transport contract (`.scale`/`.raw`): index-then-decode equals
+        # decode-then-index, but only this order lets consumers (the
+        # generator's raw-int16 host path, main.py's device bank staging)
+        # still reach the undecoded int16 rows. The reverse order silently
+        # downgraded every --holdout_fold run to f32 transport/staging
+        # (2× host bytes and 2× HBM).
+        sub.waveform = _ScaledWaveView(_IndexedView(wav.raw, indices),
+                                       wav.scale)
+    else:
+        sub.waveform = None if wav is None else _IndexedView(wav, indices)
     return sub
 
 

@@ -141,7 +141,19 @@ def _build(args, for_train: bool):
     dtype = jnp.bfloat16 if getattr(args, "dtype", "f32") == "bf16" else jnp.float32
     model = get_model(args.model_type, classes_num, dtype=dtype,
                       remat=getattr(args, "remat", False))
-    frontend = (make_logmel_fn(DEFAULT, use_pallas=not args.no_pallas)
+    # The frontend closes over the corpus's ACTUAL clip length (packed
+    # corpora may be shorter than the task's 10 s, e.g. tests): the 2-D
+    # waveform path is shape-agnostic, but the pre-chunked bank fast path
+    # (prepare_chunks / 3-D logmel input) validates against
+    # cfg.clip_samples, so the cfg must describe the data.
+    fe_cfg = DEFAULT
+    if (feature_source == "waveform" and train_reader.waveform is not None
+            and train_reader.waveform.shape[1] != DEFAULT.clip_samples):
+        import dataclasses as _dc
+
+        fe_cfg = _dc.replace(DEFAULT,
+                             clip_samples=int(train_reader.waveform.shape[1]))
+    frontend = (make_logmel_fn(fe_cfg, use_pallas=not args.no_pallas)
                 if feature_source == "waveform" else None)
     # waveform path: normalization happens on device after the frontend
     dev_scalar = scalar if feature_source == "waveform" else None
@@ -180,18 +192,32 @@ def _build(args, for_train: bool):
     mesh = None
     banks = {}
     bank_eval_steps = {}
-    if for_train and feature_source == "logmel" and in_memory:
+    bankable = (feature_source == "logmel"
+                or (feature_source == "waveform"
+                    and train_reader.waveform is not None))
+    if for_train and in_memory and bankable:
         mode = getattr(args, "device_cache", "auto")
         cap = int(os.environ.get("SEDX_DEVICE_CACHE_MAX_BYTES",
                                  6_000_000_000))
-        est = sum(int(np.prod(r.feature.shape)) * 4
-                  for r in (train_reader, test_reader) if r is not None)
+        if feature_source == "logmel":
+            est = sum(int(np.prod(r.feature.shape)) * 4
+                      for r in (train_reader, test_reader) if r is not None)
+        else:
+            # waveform banks are staged as hop-chunk rows (prepare_chunks:
+            # ~3% row padding), int16 when the corpus is quantized
+            from .ops.pallas_logmel import prepare_chunks
+            row = prepare_chunks(np.zeros(
+                (1, fe_cfg.clip_samples),
+                np.int16 if wave_scale is not None else np.float32), fe_cfg)
+            est = sum(len(r) * row.nbytes
+                      for r in (train_reader, test_reader) if r is not None)
         use_bank = mode == "on" or (mode == "auto" and est <= cap)
         if mode == "auto" and not use_bank:
             logging.getLogger().info(
                 "device cache: auto-off (splits ≈ %.1f GB > cap %.1f GB; "
                 "--device_cache=on to force)", est / 1e9, cap / 1e9)
     if use_bank:
+        from .ops.pallas_logmel import prepare_chunks
         mesh = make_mesh_for_batch(args.batch_size)
         rep = replicated_sharding(mesh)
         mean, std = scalar
@@ -200,11 +226,28 @@ def _build(args, for_train: bool):
                               ("test", test_reader)):
             if reader is None:
                 continue
-            feats = reader.feature
-            if not isinstance(feats, np.ndarray):     # holdout subset view
-                feats = feats[np.arange(len(reader))]
-            banks[split] = jax.device_put(
-                scale(feats, mean, std).astype(np.float32, copy=False), rep)
+            if feature_source == "logmel":
+                feats = reader.feature
+                if not isinstance(feats, np.ndarray):  # holdout subset view
+                    feats = feats[np.arange(len(reader))]
+                bank = scale(feats, mean, std).astype(np.float32, copy=False)
+            else:
+                # stage the waveforms PRE-CHUNKED so the Pallas frontend
+                # skips its per-step pad+relayout pass (measured 1.3 ms/step
+                # at bench config); int16 rows ride undecoded — the step's
+                # wave_scale path decodes on device, halving the HBM bank
+                wav = reader.waveform
+                if (wave_scale is not None and hasattr(wav, "raw")
+                        and float(wav.scale) == wave_scale):
+                    arr = wav.raw
+                    if not isinstance(arr, np.ndarray):
+                        arr = arr[np.arange(len(reader))]
+                elif isinstance(wav, np.ndarray):
+                    arr = wav
+                else:                    # subset / decode view → f32 rows
+                    arr = wav[np.arange(len(reader))]
+                bank = prepare_chunks(np.ascontiguousarray(arr), fe_cfg)
+            banks[split] = jax.device_put(bank, rep)
         jax.block_until_ready(list(banks.values()))
         logging.getLogger().info(
             "device cache: staged %s on device in %.1f s (%.0f MB, "
@@ -213,7 +256,9 @@ def _build(args, for_train: bool):
             time.time() - t0,
             sum(b.nbytes for b in banks.values()) / 1e6, mesh.size)
         bank_eval_steps = {
-            split: train_lib.make_eval_step(model, bank=b)
+            split: train_lib.make_eval_step(
+                model, frontend=frontend, scalar=dev_scalar,
+                wave_scale=wave_scale, bank=b)
             for split, b in banks.items()}
 
     step = (train_lib.make_train_step(

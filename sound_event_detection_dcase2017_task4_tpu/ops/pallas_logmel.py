@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import Config, DEFAULT
 from . import dsp
 
-__all__ = ["logmel_pallas"]
+__all__ = ["logmel_pallas", "prepare_chunks", "unstage_chunks"]
 
 _MAX_FRAME_BLOCK = 512   # frames per grid step: biggest matmul M that
                          # still double-buffers comfortably in VMEM
@@ -60,6 +60,78 @@ _MAX_FRAME_BLOCK = 512   # frames per grid step: biggest matmul M that
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=8)
+def _geometry(cfg: Config, samples: int):
+    """Static frame/chunk geometry for a clip of ``samples`` samples:
+    ``(n_frames, frame_block, n_blocks, n_out, n_rows)``."""
+    hop, win = cfg.hop_size, cfg.window_size
+    n_seg = math.ceil(win / hop)
+    n_frames = 1 + samples // hop
+    frame_block = min(_MAX_FRAME_BLOCK, _round_up(n_frames, 128))
+    n_blocks = pl.cdiv(n_frames, frame_block)
+    n_out = n_blocks * frame_block
+    # Chunk rows must exist for every (padded) frame: the last block's
+    # 8-aligned superset window reads rows
+    # (n_blocks-1)*FB .. +roundup(FB+n_seg-1, 8)-1 ...
+    n_rows = (n_blocks - 1) * frame_block + _round_up(
+        frame_block + n_seg - 1, 8)
+    # ... and must also cover the whole centre-padded signal (for configs
+    # where samples % hop exceeds the superset window's slack, the formula
+    # above can land one row short and the zero-pad would go negative).
+    pad = win // 2
+    n_rows = max(n_rows, -(-(samples + 2 * pad) // hop))
+    return n_frames, frame_block, n_blocks, n_out, n_rows
+
+
+def prepare_chunks(waveform, cfg: Config = DEFAULT):
+    """Stage ``[B, samples] → [B, n_rows, hop]`` hop-chunk rows for
+    :func:`logmel_pallas` — centre pad (librosa ``center=True``), zero-pad
+    the tail, relayout into non-overlapping hop rows.
+
+    This is exactly the staging :func:`logmel_pallas` performs internally
+    for 2-D input, exposed so a corpus that is staged ONCE (the
+    device-resident cache, ``main.py``) or a fixed bench batch can pay the
+    pad+relayout pass once instead of every step (measured 1.3 ms/step at
+    the bench config, batch 128 — the relayout cannot fuse into the kernel
+    because Mosaic has no non-128 shape cast; re-tested round 5).
+
+    Works on numpy or jax arrays (pure pad/reshape — bit-exact either
+    way) and preserves integer dtypes, so a quantized int16 corpus can be
+    staged chunked and decoded on device by the train step's
+    ``wave_scale`` path.
+    """
+    xp = np if isinstance(waveform, np.ndarray) else jnp
+    hop, win = cfg.hop_size, cfg.window_size
+    bsz, samples = waveform.shape
+    *_, n_rows = _geometry(cfg, samples)
+    pad = win // 2
+    x = xp.pad(waveform, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+    x = xp.pad(x, ((0, 0), (0, n_rows * hop - x.shape[-1])))
+    return x.reshape(bsz, n_rows, hop)
+
+
+def unstage_chunks(chunks, cfg: Config = DEFAULT):
+    """Inverse of :func:`prepare_chunks` for a ``cfg.clip_samples`` clip:
+    recover the raw ``[B, samples]`` waveform from staged hop-chunk rows
+    (the interior of the centre-padded signal — reflect padding copies
+    interior samples, so the slice is exact).
+
+    Used by the XLA frontend fallback (``ops/stft.make_logmel_fn``) so a
+    corpus staged chunked for the Pallas fast path still evaluates
+    bit-identically on CPU/interpret backends that take 2-D waveforms.
+    """
+    hop, win = cfg.hop_size, cfg.window_size
+    samples = cfg.clip_samples
+    *_, n_rows = _geometry(cfg, samples)
+    if chunks.shape[1:] != (n_rows, hop):
+        raise ValueError(
+            f"chunk rows must be [B, {n_rows}, {hop}] for "
+            f"clip_samples={samples} (got {chunks.shape})")
+    pad = win // 2
+    flat = chunks.reshape(chunks.shape[0], n_rows * hop)
+    return flat[:, pad : pad + samples]
 
 
 @functools.lru_cache(maxsize=4)
@@ -141,31 +213,32 @@ def logmel_pallas(
     ``power_to_db``) — the cross-block per-clip peak is a tiny XLA
     reduction over the kernel's ``[B, T, mel]`` output, so it stays
     outside the kernel.
-    """
-    assert waveform.ndim == 2, "expected [batch, samples]"
 
+    3-D input ``[B, n_rows, hop]`` is taken as PRE-STAGED hop-chunk rows
+    from :func:`prepare_chunks` for a ``cfg.clip_samples`` clip — the
+    internal pad+relayout pass is skipped (the device-cache /
+    fixed-corpus fast path).
+    """
     n_seg, hop_pad, f_half, basis, mel_pad = _plan(cfg)
     hop, win = cfg.hop_size, cfg.window_size
-    bsz, samples = waveform.shape
-    n_frames = 1 + samples // hop
-    frame_block = min(_MAX_FRAME_BLOCK, _round_up(n_frames, 128))
-    n_blocks = pl.cdiv(n_frames, frame_block)
-    n_out = n_blocks * frame_block
 
-    # Centre pad (librosa center=True), then zero-pad so chunk rows exist
-    # for every (padded) frame: the last block's 8-aligned superset window
-    # reads rows (n_blocks-1)*FB .. +roundup(FB+n_seg-1, 8)-1.
-    pad = win // 2
-    n_rows = (n_blocks - 1) * frame_block + _round_up(
-        frame_block + n_seg - 1, 8)
-    # the rows must also cover the whole centre-padded signal (for configs
-    # where samples % hop exceeds the superset window's slack, the formula
-    # above can land one row short and the zero-pad below would go negative)
-    n_rows = max(n_rows, -(-(samples + 2 * pad) // hop))
-    x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)),
-                mode=cfg.pad_mode)
-    x = jnp.pad(x, ((0, 0), (0, n_rows * hop - x.shape[-1])))
-    chunks = x.reshape(bsz, n_rows, hop)
+    if waveform.ndim == 3:                       # pre-staged chunk rows
+        bsz = waveform.shape[0]
+        samples = cfg.clip_samples
+        n_frames, frame_block, n_blocks, n_out, n_rows = _geometry(
+            cfg, samples)
+        if waveform.shape[1:] != (n_rows, hop):
+            raise ValueError(
+                f"pre-chunked input must be [B, {n_rows}, {hop}] for "
+                f"clip_samples={samples} (got {waveform.shape}) — stage "
+                "it with prepare_chunks()")
+        chunks = waveform.astype(jnp.float32)
+    else:
+        assert waveform.ndim == 2, "expected [batch, samples] or chunks"
+        bsz, samples = waveform.shape
+        n_frames, frame_block, n_blocks, n_out, n_rows = _geometry(
+            cfg, samples)
+        chunks = prepare_chunks(waveform.astype(jnp.float32), cfg)
 
     ref_db = float(10.0 * np.log10(max(cfg.log_amin, cfg.log_ref)))
     prec = (jax.lax.Precision.HIGHEST if precision == "highest"

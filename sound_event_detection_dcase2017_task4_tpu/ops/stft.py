@@ -98,6 +98,13 @@ def make_logmel_fn(cfg: Config = DEFAULT, use_pallas: bool = False,
     ``precision="fast"`` uses single-pass bf16 MXU matmuls in the kernel
     (~0.02 dB noise) — right for the training hot path; feature packing
     keeps "highest" (the librosa bit-compat contract).
+
+    Both returned closures also accept PRE-STAGED hop-chunk rows
+    ``[B, n_rows, hop]`` from ``ops.pallas_logmel.prepare_chunks`` (the
+    device-resident waveform-corpus fast path): the Pallas kernel consumes
+    them directly (skipping its internal pad+relayout); the XLA path
+    un-stages them first (``unstage_chunks`` — exact, so CPU tests and the
+    graceful non-TPU fallback stay bit-consistent with 2-D input).
     """
     if use_pallas:
         if jax.default_backend() != "tpu":
@@ -107,8 +114,19 @@ def make_logmel_fn(cfg: Config = DEFAULT, use_pallas: bool = False,
 
             warnings.warn("use_pallas requested on non-TPU backend "
                           f"({jax.default_backend()}); using the XLA path")
-            return functools.partial(logmel, cfg=cfg)
-        from .pallas_logmel import logmel_pallas
+        else:
+            from .pallas_logmel import logmel_pallas
 
-        return functools.partial(logmel_pallas, cfg=cfg, precision=precision)
-    return functools.partial(logmel, cfg=cfg)
+            return functools.partial(logmel_pallas, cfg=cfg,
+                                     precision=precision)
+
+    def xla_fn(waveform):
+        # staged chunk rows are recognised by their hop-sized minor axis
+        # (a legitimate 2-D waveform has clip-length minor axis)
+        if waveform.ndim == 3 and waveform.shape[-1] == cfg.hop_size:
+            from .pallas_logmel import unstage_chunks
+
+            waveform = unstage_chunks(waveform, cfg)
+        return logmel(waveform, cfg=cfg)
+
+    return xla_fn

@@ -109,10 +109,13 @@ def test_resume_training(workspace):
     assert os.path.isfile(os.path.join(ckpt_dir, "8_iterations.ckpt"))
 
 
-def test_device_cache_transport_equivalence(workspace, tmp_path):
+@pytest.mark.parametrize("source", ["logmel", "waveform"])
+def test_device_cache_transport_equivalence(workspace, tmp_path, source):
     """`--device_cache=on` vs `off` with the same seed must produce the
     same trained checkpoint: the device-resident bank changes the batch
-    TRANSPORT, never the batch CONTENT (round-5 device cache)."""
+    TRANSPORT, never the batch CONTENT (round-5 device cache). The
+    waveform variant exercises the pre-chunked int16 bank (staged via
+    ops.pallas_logmel.prepare_chunks, decoded + un-staged in-step)."""
     import numpy as np
 
     from sound_event_detection_dcase2017_task4_tpu import checkpoints, train
@@ -121,12 +124,13 @@ def test_device_cache_transport_equivalence(workspace, tmp_path):
 
     states = {}
     for mode in ("off", "on"):
-        ws = str(tmp_path / mode)
+        ws = str(tmp_path / f"{source}-{mode}")
         os.makedirs(ws)
         for d in ("features", "scalars", "synth_dataset"):
             os.symlink(os.path.join(workspace, d), os.path.join(ws, d))
         main.main(["train", f"--workspace={ws}", *COMMON,
                    "--augmentation=mixup", f"--device_cache={mode}",
+                   f"--feature_source={source}",
                    "--stop_iteration=4", "--eval_interval=4",
                    "--eval_max_iteration=1"])
         ckpt = os.path.join(

@@ -234,6 +234,28 @@ def test_subset_reader_views(split_h5):
     lazy.close()
 
 
+def test_subset_reader_keeps_int16_transport(split_h5):
+    """A --holdout_fold subset must preserve the quantized-waveform
+    transport contract (`.scale`/`.raw`): the wrapper order is
+    scale-OUTSIDE-index, so the raw-int16 host path and the device bank
+    staging still see undecoded rows (the reverse order silently degraded
+    every holdout run to f32 transport — 2× bytes both ways)."""
+    path, cfg, _ = split_h5
+    mem = read_split(path, load_waveform=True, in_memory=True)
+    idx = np.array([1, 2, 6])
+    sub = subset_reader(mem, idx)
+    if not hasattr(mem.waveform, "scale"):
+        pytest.skip("corpus not quantized")
+    assert sub.waveform.scale == mem.waveform.scale
+    raw = sub.waveform.raw[np.arange(3)]
+    assert raw.dtype == np.int16
+    np.testing.assert_array_equal(raw, mem.waveform.raw[idx])
+    # decode via the subset equals decode-then-index
+    np.testing.assert_array_equal(sub.waveform[np.arange(3)],
+                                  mem.waveform[idx])
+    mem.close()
+
+
 class TestHardProfile:
     """The discriminative corpus (data/synth.py --profile hard)."""
 

@@ -95,6 +95,45 @@ def test_pallas_bin_trim_is_exact_at_fmax_nyquist():
     assert _plan(config.DEFAULT)[2] == 512
 
 
+def test_pallas_prechunked_input_is_bit_exact(wave):
+    """The 3-D pre-staged path (prepare_chunks + chunked input) must produce
+    the BIT-SAME output as the 2-D path — it is the identical kernel with the
+    pad/relayout hoisted out (the device-cache fast path)."""
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import (
+        prepare_chunks)
+
+    cfg = config.Config(clip_samples=32000)
+    ref = np.asarray(logmel_pallas(wave, cfg, interpret=True))
+    chunks = prepare_chunks(wave, cfg)
+    assert chunks.ndim == 3 and chunks.shape[0] == wave.shape[0]
+    assert chunks.shape[2] == cfg.hop_size
+    out = np.asarray(logmel_pallas(chunks, cfg, interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+    # shape validation: wrong row count must fail loudly, not mis-decode
+    with pytest.raises(ValueError, match="prepare_chunks"):
+        logmel_pallas(chunks[:, :-1], cfg, interpret=True)
+
+
+def test_prepare_chunks_preserves_int16():
+    """An int16 quantized corpus can be staged chunked (device cache) and
+    decoded on device — prepare_chunks must not silently upcast."""
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import (
+        prepare_chunks)
+
+    cfg = config.Config(clip_samples=32000)
+    rng = np.random.RandomState(3)
+    q = (rng.randn(2, 32000) * 8000).clip(-32768, 32767).astype(np.int16)
+    chunks = prepare_chunks(q, cfg)
+    assert chunks.dtype == np.int16
+    # chunked-then-decoded == decoded-then-chunked (pad of zeros commutes
+    # with the linear dequant scale)
+    scale = np.float32(1.0 / 32768.0)
+    a = chunks.astype(np.float32) * scale
+    b = prepare_chunks((q.astype(np.float32) * scale), cfg)
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_rows_cover_non_hop_multiple_clips():
     """Regression: a clip length that is not a hop multiple combined with
     an 8-aligned superset window used to leave n_rows one chunk-row short
