@@ -255,18 +255,35 @@ def _build(args, for_train: bool):
             "+".join(f"{split}[{b.shape[0]}]" for split, b in banks.items()),
             time.time() - t0,
             sum(b.nbytes for b in banks.values()) / 1e6, mesh.size)
+        if feature_source == "waveform":
+            # fused gather+decode+frontend over the staged bank: the
+            # Pallas kernel reads the clip rows straight from the bank
+            # via a scalar-prefetched index map (ops/stft.py). wave_scale
+            # only engages for integer banks (trace-time dtype check), so
+            # one closure serves int16 and f32 stagings alike.
+            from .ops.stft import make_logmel_bank_fn
+
+            bank_frontend = make_logmel_bank_fn(
+                fe_cfg, use_pallas=not args.no_pallas,
+                precision="highest",        # match the host-path frontend
+                wave_scale=wave_scale)
+        else:
+            bank_frontend = None
         bank_eval_steps = {
             split: train_lib.make_eval_step(
                 model, frontend=frontend, scalar=dev_scalar,
-                wave_scale=wave_scale, bank=b)
+                wave_scale=wave_scale, bank=b, bank_frontend=bank_frontend)
             for split, b in banks.items()}
+    else:
+        bank_frontend = None
 
     step = (train_lib.make_train_step(
         model, tx, loss_type=args.loss_type, frontend=frontend,
         scalar=dev_scalar, mixup_alpha=mixup_alpha,
         use_spec_augment="specaugment" in args.augmentation,
         check_numerics=getattr(args, "check_numerics", False),
-        bank=banks.get("train"), wave_scale=wave_scale)
+        bank=banks.get("train"), wave_scale=wave_scale,
+        bank_frontend=bank_frontend)
         if for_train else None)
     eval_step = train_lib.make_eval_step(model, frontend=frontend,
                                          scalar=dev_scalar,

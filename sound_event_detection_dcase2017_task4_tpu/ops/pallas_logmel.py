@@ -51,7 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import Config, DEFAULT
 from . import dsp
 
-__all__ = ["logmel_pallas", "prepare_chunks", "unstage_chunks"]
+__all__ = ["logmel_pallas", "logmel_pallas_bank", "prepare_chunks",
+           "unstage_chunks"]
 
 _MAX_FRAME_BLOCK = 512   # frames per grid step: biggest matmul M that
                          # still double-buffers comfortably in VMEM
@@ -184,7 +185,11 @@ def _kernel(blk_ref, basis_ref, mel_ref, out_ref, *, frame_block: int,
     # start — Mosaic requires provable sublane alignment) and slice the
     # n_seg shifted views statically (cheap sublane rolls).
     sup_rows = _round_up(frame_block + n_seg - 1, 8)
-    sup = blk_ref[0, pl.ds(t * frame_block, sup_rows), :]
+    # astype is a no-op for the f32 paths; the bank-gather path ships
+    # int16 chunk rows and decodes HERE (VPU convert of VMEM-resident
+    # data) — the PCM scale is folded into the basis, not applied to the
+    # samples (see logmel_pallas_bank)
+    sup = blk_ref[0, pl.ds(t * frame_block, sup_rows), :].astype(jnp.float32)
     acc = jnp.zeros((frame_block, 2 * f_half), jnp.float32)
     for j in range(n_seg):
         seg = sup[j : j + frame_block]
@@ -277,6 +282,111 @@ def logmel_pallas(
         ),
         interpret=interpret,
     )(chunks, jnp.asarray(basis), jnp.asarray(mel_pad))
+
+    out = out[:, :n_frames, :]
+    if cfg.log_top_db is not None:
+        peak = jnp.max(out, axis=(-2, -1), keepdims=True)    # per clip
+        out = jnp.maximum(out, peak - cfg.log_top_db)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "wave_scale", "interpret", "precision"))
+def logmel_pallas_bank(
+    bank: jnp.ndarray, idx: jnp.ndarray, cfg: Config = DEFAULT,
+    wave_scale: float | None = None, interpret: bool = False,
+    precision: str = "fast",
+) -> jnp.ndarray:
+    """Log-mel straight out of a device-resident corpus bank:
+    ``bank [N, n_rows, hop] (+ idx [B] int32) → [B, frames_num, mel] f32``.
+
+    The gather happens INSIDE the kernel grid: the bank block's index map
+    reads the clip coordinate from a scalar-prefetched index vector
+    (``pltpu.PrefetchScalarGridSpec``), so the batch's rows go HBM→VMEM
+    directly — no materialized ``jnp.take`` batch, no decoded f32 copy.
+    vs the gather-then-kernel formulation at bench shapes (batch 128)
+    this removes ~410 MB/step of HBM traffic: the gather's int16 read
+    (82 MB) + decoded f32 write (164 MB) + the kernel's f32 re-read
+    (164 MB) collapse into one 82 MB int16 read.
+
+    ``wave_scale`` decodes quantized int16 banks (``data/hdf5``): it is
+    folded into the DFT basis — bit-exact vs decode-then-transform
+    because the PCM scale (2^-15) is a power of two, so both the basis
+    scaling and each product ``q·(b·s) == (q·s)·b`` are pure exponent
+    shifts with identical rounding. The int16→f32 convert itself runs
+    on the VPU inside the kernel. Required for integer banks; must be a
+    power of two (asserted) — which ``_WAVE_INT16_SCALE`` is.
+
+    Output is bit-identical to
+    ``logmel_pallas(prepare_chunks(decoded)[idx], cfg)`` (tested).
+    """
+    n_seg, hop_pad, f_half, basis, mel_pad = _plan(cfg)
+    hop = cfg.hop_size
+    samples = cfg.clip_samples
+    n_frames, frame_block, n_blocks, n_out, n_rows = _geometry(cfg, samples)
+    if bank.ndim != 3 or bank.shape[1:] != (n_rows, hop):
+        raise ValueError(
+            f"bank must be [N, {n_rows}, {hop}] chunk rows for "
+            f"clip_samples={samples} (got {bank.shape}) — stage it with "
+            "prepare_chunks()")
+    if jnp.issubdtype(bank.dtype, jnp.integer):
+        if wave_scale is None:
+            raise ValueError("integer bank needs wave_scale to decode")
+        frac, _ = math.frexp(wave_scale)
+        if frac != 0.5:
+            raise ValueError(
+                f"wave_scale must be a power of two to fold into the "
+                f"basis bit-exactly (got {wave_scale})")
+        basis = basis * np.float32(wave_scale)
+    bsz = idx.shape[0]
+
+    ref_db = float(10.0 * np.log10(max(cfg.log_amin, cfg.log_ref)))
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    kernel = functools.partial(
+        _kernel, frame_block=frame_block, n_seg=n_seg, f_half=f_half,
+        ref_db=ref_db, amin=cfg.log_amin, precision=prec
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                   # idx rides ahead in SMEM
+        grid=(bsz, n_blocks),
+        in_specs=[
+            # the clip's chunk rows, fetched straight from the bank row
+            # the prefetched index names; constant in t → once per clip
+            pl.BlockSpec(
+                (1, n_rows, hop_pad),
+                lambda b, t, idx_ref: (idx_ref[b], 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(                                    # resident consts
+                (n_seg, hop_pad, 2 * f_half), lambda b, t, idx_ref: (0, 0, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (f_half, cfg.mel_bins), lambda b, t, idx_ref: (0, 0),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, frame_block, cfg.mel_bins), lambda b, t, idx_ref: (b, t, 0),
+            memory_space=pltpu.VMEM),
+    )
+
+    def kernel_with_idx(idx_ref, blk_ref, basis_ref, mel_ref, out_ref):
+        kernel(blk_ref, basis_ref, mel_ref, out_ref)
+
+    out = pl.pallas_call(
+        kernel_with_idx,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (bsz, n_out, cfg.mel_bins), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_out * (n_seg * hop * 2 * f_half
+                                     + f_half * cfg.mel_bins),
+            bytes_accessed=bsz * (n_rows * hop_pad * bank.dtype.itemsize
+                                  + n_out * cfg.mel_bins * 4),
+            transcendentals=bsz * n_out * cfg.mel_bins,
+        ),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), bank, jnp.asarray(basis), jnp.asarray(mel_pad))
 
     out = out[:, :n_frames, :]
     if cfg.log_top_db is not None:

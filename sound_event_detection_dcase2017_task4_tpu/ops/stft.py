@@ -130,3 +130,37 @@ def make_logmel_fn(cfg: Config = DEFAULT, use_pallas: bool = False,
         return logmel(waveform, cfg=cfg)
 
     return xla_fn
+
+
+def make_logmel_bank_fn(cfg: Config = DEFAULT, use_pallas: bool = False,
+                        precision: str = "fast",
+                        wave_scale: float | None = None):
+    """Return a jittable ``(bank, idx) -> logmel`` closure over a
+    device-resident chunk-row corpus bank (``prepare_chunks`` layout,
+    f32 or quantized int16 + ``wave_scale``).
+
+    The Pallas path gathers INSIDE the kernel via a scalar-prefetched
+    index map and decodes int16 on the VPU with the PCM scale folded
+    into the DFT basis (``logmel_pallas_bank`` — no materialized batch,
+    no decoded f32 copy). The XLA fallback is the explicit formulation:
+    ``jnp.take`` → decode → un-stage → ``logmel`` — bit-consistent, so
+    CPU tests and non-TPU runs see identical numerics to 2-D input.
+    """
+    if use_pallas and jax.default_backend() == "tpu":
+        from .pallas_logmel import logmel_pallas_bank
+
+        return functools.partial(logmel_pallas_bank, cfg=cfg,
+                                 precision=precision,
+                                 wave_scale=wave_scale)
+
+    from .pallas_logmel import unstage_chunks
+
+    def xla_bank_fn(bank, idx):
+        rows = jnp.take(bank, idx, axis=0)
+        if jnp.issubdtype(rows.dtype, jnp.integer):
+            if wave_scale is None:
+                raise ValueError("integer bank needs wave_scale to decode")
+            rows = rows.astype(jnp.float32) * jnp.float32(wave_scale)
+        return logmel(unstage_chunks(rows, cfg), cfg=cfg)
+
+    return xla_bank_fn

@@ -217,6 +217,7 @@ def make_train_step(
     check_numerics: bool = False,
     bank: Optional[jax.Array] = None,
     wave_scale: Optional[float] = None,
+    bank_frontend: Optional[Callable] = None,
 ):
     """Build the jitted train step ``(state, batch_x, batch_y) → (state, metrics)``.
 
@@ -236,14 +237,22 @@ def make_train_step(
     host link pays the corpus once instead of once per epoch. The bank is
     passed as a jit argument (not a closure) so XLA never folds the staged
     corpus into the executable as a constant.
+
+    ``bank_frontend`` (with ``bank``) replaces the gather-then-frontend
+    formulation with a fused ``(bank, idx) → logmel`` closure
+    (``ops.stft.make_logmel_bank_fn``): the Pallas kernel gathers the
+    clip rows straight from the staged bank via a scalar-prefetched index
+    map and decodes int16 in-kernel — the materialized batch and its
+    decoded f32 copy never touch HBM. Normalization still applies here.
     """
     loss_fn = get_loss_func(loss_type)
     scalar = (None if scalar is None else
               (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
 
-    def step_fn(state: TrainState, batch_x, batch_y):
+    def step_fn(state: TrainState, batch_x, batch_y, *, melled=False):
         rng, mix_rng, spec_rng, drop_rng = jax.random.split(state.rng, 4)
-        x = _frontend_and_norm(batch_x, frontend, scalar, wave_scale)
+        x = (_frontend_and_norm(batch_x, None, scalar) if melled
+             else _frontend_and_norm(batch_x, frontend, scalar, wave_scale))
         y = batch_y
         if use_spec_augment:
             x = spec_augment(spec_rng, x)
@@ -283,9 +292,14 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=donate,
                        compiler_options=_tpu_compiler_options())
 
-    def bank_step_fn(state: TrainState, bank_arr, batch_idx, batch_y):
-        return step_fn(state, jnp.take(bank_arr, batch_idx, axis=0),
-                       batch_y)
+    if bank_frontend is not None:
+        def bank_step_fn(state: TrainState, bank_arr, batch_idx, batch_y):
+            return step_fn(state, bank_frontend(bank_arr, batch_idx),
+                           batch_y, melled=True)
+    else:
+        def bank_step_fn(state: TrainState, bank_arr, batch_idx, batch_y):
+            return step_fn(state, jnp.take(bank_arr, batch_idx, axis=0),
+                           batch_y)
 
     jitted = jax.jit(bank_step_fn, donate_argnums=donate,
                      compiler_options=_tpu_compiler_options())
@@ -305,7 +319,8 @@ def _tpu_compiler_options():
 def make_eval_step(model, frontend: Optional[Callable] = None,
                    scalar: Optional[tuple] = None,
                    bank: Optional[jax.Array] = None,
-                   wave_scale: Optional[float] = None):
+                   wave_scale: Optional[float] = None,
+                   bank_frontend: Optional[Callable] = None):
     """Jitted inference step ``(state, batch_x) → output_dict`` (eval mode,
     running BN stats — reference ``pytorch_utils.forward`` semantics).
 
@@ -318,8 +333,9 @@ def make_eval_step(model, frontend: Optional[Callable] = None,
     scalar = (None if scalar is None else
               (jnp.asarray(scalar[0]), jnp.asarray(scalar[1])))
 
-    def eval_fn(state: TrainState, batch_x):
-        x = _frontend_and_norm(batch_x, frontend, scalar, wave_scale)
+    def eval_fn(state: TrainState, batch_x, *, melled=False):
+        x = (_frontend_and_norm(batch_x, None, scalar) if melled
+             else _frontend_and_norm(batch_x, frontend, scalar, wave_scale))
         return model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)
@@ -327,8 +343,13 @@ def make_eval_step(model, frontend: Optional[Callable] = None,
     if bank is None:
         return jax.jit(eval_fn)
 
-    def bank_eval_fn(state: TrainState, bank_arr, batch_idx):
-        return eval_fn(state, jnp.take(bank_arr, batch_idx, axis=0))
+    if bank_frontend is not None:
+        def bank_eval_fn(state: TrainState, bank_arr, batch_idx):
+            return eval_fn(state, bank_frontend(bank_arr, batch_idx),
+                           melled=True)
+    else:
+        def bank_eval_fn(state: TrainState, bank_arr, batch_idx):
+            return eval_fn(state, jnp.take(bank_arr, batch_idx, axis=0))
 
     jitted = jax.jit(bank_eval_fn)
     return lambda state, batch_idx: jitted(state, bank, batch_idx)

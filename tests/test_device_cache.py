@@ -217,6 +217,88 @@ def test_eval_step_waveform_chunk_bank_equals_host(tiny_model):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_train_step_bank_frontend_equals_host(tiny_model):
+    """The fused gather+decode+frontend formulation (`bank_frontend` =
+    make_logmel_bank_fn; on TPU the Pallas scalar-prefetch kernel, here
+    the bit-consistent XLA fallback) must train identically to the
+    host-fed raw-int16 transport."""
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import (
+        prepare_chunks)
+    from sound_event_detection_dcase2017_task4_tpu.ops.stft import (
+        make_logmel_bank_fn, make_logmel_fn)
+
+    cfg = Config(clip_samples=16000)
+    corpus = _WaveCorpus(seed=21)
+    frontend = make_logmel_fn(cfg)
+    mel = np.asarray(frontend(
+        jnp.asarray(corpus.raw, jnp.float32) * corpus.SCALE))
+    dev_scalar = (mel.mean(axis=(0, 1)), mel.std(axis=(0, 1)))
+    frames = 1 + 16000 // cfg.hop_size
+
+    def init():
+        return train.create_train_state(tiny_model, cfg,
+                                        example_frames=frames, seed=5)
+
+    state_h, tx = init()
+    state_b, _ = init()
+    step_h = train.make_train_step(
+        tiny_model, tx, frontend=frontend, scalar=dev_scalar,
+        wave_scale=float(corpus.SCALE), donate_state=False)
+    bank = jnp.asarray(prepare_chunks(corpus.raw, cfg))
+    step_b = train.make_train_step(
+        tiny_model, tx, frontend=frontend, scalar=dev_scalar,
+        wave_scale=float(corpus.SCALE), donate_state=False, bank=bank,
+        bank_frontend=make_logmel_bank_fn(cfg,
+                                          wave_scale=float(corpus.SCALE)))
+
+    rng = np.random.RandomState(7)
+    for _ in range(2):
+        idx = np.sort(rng.choice(len(corpus.raw), 6, replace=False)
+                      ).astype(np.int32)
+        y = corpus.target[idx]
+        state_h, mh = step_h(state_h, jnp.asarray(corpus.raw[idx]),
+                             jnp.asarray(y))
+        state_b, mb = step_b(state_b, jnp.asarray(idx), jnp.asarray(y))
+        np.testing.assert_allclose(float(mh["loss"]), float(mb["loss"]),
+                                   rtol=1e-6)
+    for ph, pb in zip(jax.tree_util.tree_leaves(state_h.params),
+                      jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(ph), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_eval_step_bank_frontend_equals_host(tiny_model):
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import (
+        prepare_chunks)
+    from sound_event_detection_dcase2017_task4_tpu.ops.stft import (
+        make_logmel_bank_fn, make_logmel_fn)
+
+    cfg = Config(clip_samples=16000)
+    corpus = _WaveCorpus(seed=22)
+    frontend = make_logmel_fn(cfg)
+    mel = np.asarray(frontend(
+        jnp.asarray(corpus.raw, jnp.float32) * corpus.SCALE))
+    dev_scalar = (mel.mean(axis=(0, 1)), mel.std(axis=(0, 1)))
+    frames = 1 + 16000 // cfg.hop_size
+    state, _ = train.create_train_state(tiny_model, cfg,
+                                        example_frames=frames, seed=5)
+    ev_h = train.make_eval_step(tiny_model, frontend=frontend,
+                                scalar=dev_scalar,
+                                wave_scale=float(corpus.SCALE))
+    ev_b = train.make_eval_step(
+        tiny_model, frontend=frontend, scalar=dev_scalar,
+        wave_scale=float(corpus.SCALE),
+        bank=jnp.asarray(prepare_chunks(corpus.raw, cfg)),
+        bank_frontend=make_logmel_bank_fn(cfg,
+                                          wave_scale=float(corpus.SCALE)))
+    idx = np.asarray([0, 5, 10], np.int32)
+    out_h = ev_h(state, jnp.asarray(corpus.raw[idx]))
+    out_b = ev_b(state, jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(out_h["clipwise_output"]),
+                               np.asarray(out_b["clipwise_output"]),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_bank_step_sharded_mesh(tiny_model, reader, scalar):
     """Replicated bank + data-sharded indices on the 8-device virtual mesh:
     the on-device gather needs no collective and reproduces the

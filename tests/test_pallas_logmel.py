@@ -1,5 +1,6 @@
 """Fused Pallas log-mel kernel vs the XLA reference path (interpret mode on CPU)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -132,6 +133,46 @@ def test_prepare_chunks_preserves_int16():
     a = chunks.astype(np.float32) * scale
     b = prepare_chunks((q.astype(np.float32) * scale), cfg)
     np.testing.assert_array_equal(a, b)
+
+
+def test_pallas_bank_gather_is_bit_exact(wave):
+    """logmel_pallas_bank (scalar-prefetch in-kernel gather + in-kernel
+    int16 decode with the PCM scale folded into the basis) must be
+    BIT-exact vs gather-then-kernel: the fold is a pure exponent shift
+    (2^-15), and the index map only changes WHICH rows DMA to VMEM."""
+    from sound_event_detection_dcase2017_task4_tpu.ops.pallas_logmel import (
+        logmel_pallas_bank, prepare_chunks)
+
+    cfg = config.Config(clip_samples=32000)
+    q = np.clip(np.round(wave * 32768), -32768, 32767).astype(np.int16)
+    scale = 1.0 / 32768.0
+    dec = q.astype(np.float32) * scale
+    idx = np.array([1, 0, 1], np.int32)          # duplicate row included
+    ref = np.asarray(logmel_pallas(dec[idx], cfg, interpret=True,
+                                   precision="fast"))
+
+    out_f32 = np.asarray(logmel_pallas_bank(
+        jnp.asarray(prepare_chunks(dec, cfg)), jnp.asarray(idx), cfg,
+        interpret=True))
+    np.testing.assert_array_equal(out_f32, ref)
+
+    out_i16 = np.asarray(logmel_pallas_bank(
+        jnp.asarray(prepare_chunks(q, cfg)), jnp.asarray(idx), cfg,
+        wave_scale=scale, interpret=True))
+    np.testing.assert_array_equal(out_i16, ref)
+
+    # guard rails: integer bank without a scale; non-power-of-two scale;
+    # wrong chunk geometry
+    with pytest.raises(ValueError, match="wave_scale"):
+        logmel_pallas_bank(jnp.asarray(prepare_chunks(q, cfg)),
+                           jnp.asarray(idx), cfg, interpret=True)
+    with pytest.raises(ValueError, match="power of two"):
+        logmel_pallas_bank(jnp.asarray(prepare_chunks(q, cfg)),
+                           jnp.asarray(idx), cfg, wave_scale=1e-4,
+                           interpret=True)
+    with pytest.raises(ValueError, match="prepare_chunks"):
+        logmel_pallas_bank(jnp.asarray(dec), jnp.asarray(idx), cfg,
+                           interpret=True)
 
 
 def test_pallas_rows_cover_non_hop_multiple_clips():
